@@ -1,0 +1,160 @@
+"""Rigid/similarity alignment: Kabsch registration (in-graph, differentiable),
+Procrustes sim(3) analysis, and Umeyama trajectory alignment.
+
+* ``rigid_points_registration`` replaces roma.rigid_points_registration
+  (reference model/nerf_inn_llff.py:569): differentiable batched Kabsch via
+  jnp.linalg.svd on 3x3 cross-covariances — gradients flow through the SVD
+  exactly as in the reference (the pose readout itself is detached by the
+  caller, the loss term is not).
+* ``procrustes_analysis`` ports camera.py:549-566 (similarity transform from
+  camera centers); the host variant uses float64 numpy like the reference's
+  ``.double()`` SVD.
+* ``align_umeyama`` ports third_party/ATE/align_trajectory.py:28-84 for the
+  DTU trajectory-alignment path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def rigid_points_registration(x, y, weights=None):
+    """Least-squares rigid transform: finds (R, t) with R @ x_i + t ~= y_i.
+
+    Args:
+        x, y: [...,N,3] point sets.
+        weights: optional [...,N] nonnegative weights.
+    Returns:
+        R: [...,3,3], t: [...,3]. Differentiable.
+    """
+    if weights is not None:
+        w = weights[..., None]
+        wsum = jnp.sum(w, axis=-2, keepdims=True)
+        cx = jnp.sum(x * w, axis=-2, keepdims=True) / wsum
+        cy = jnp.sum(y * w, axis=-2, keepdims=True) / wsum
+        M = jnp.swapaxes((y - cy) * w, -1, -2) @ (x - cx)
+    else:
+        cx = jnp.mean(x, axis=-2, keepdims=True)
+        cy = jnp.mean(y, axis=-2, keepdims=True)
+        M = jnp.swapaxes(y - cy, -1, -2) @ (x - cx)          # [...,3,3]
+    U, _, Vt = jnp.linalg.svd(M)
+    # det-flip for proper rotations
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.concatenate([
+        jnp.ones_like(det)[..., None],
+        jnp.ones_like(det)[..., None],
+        det[..., None],
+    ], axis=-1)
+    R = (U * D[..., None, :]) @ Vt
+    t = cy[..., 0, :] - (R @ cx[..., 0, :, None])[..., 0]
+    return R, t
+
+
+def procrustes_analysis_np(X0, X1):
+    """sim(3) aligning X1 to X0 (host-side, float64; camera.py:549-566).
+
+    Returns dict(t0, t1, s0, s1, R) such that
+    X1to0 = (X1 - t1)/s1 @ R.T * s0 + t0.
+    """
+    X0 = np.asarray(X0, dtype=np.float64)
+    X1 = np.asarray(X1, dtype=np.float64)
+    t0 = X0.mean(axis=0)
+    t1 = X1.mean(axis=0)
+    X0c = X0 - t0
+    X1c = X1 - t1
+    s0 = np.sqrt((X0c ** 2).sum(axis=-1).mean())
+    s1 = np.sqrt((X1c ** 2).sum(axis=-1).mean())
+    U, _, Vt = np.linalg.svd(X0c.T / s0 @ (X1c / s1))
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R[2] *= -1
+    return dict(
+        t0=t0.astype(np.float32), t1=t1.astype(np.float32),
+        s0=np.float32(s0), s1=np.float32(s1), R=R.astype(np.float32),
+    )
+
+
+def procrustes_analysis(X0, X1):
+    """jnp version of ``procrustes_analysis_np`` (fp32, jit-safe)."""
+    t0 = X0.mean(axis=0)
+    t1 = X1.mean(axis=0)
+    X0c = X0 - t0
+    X1c = X1 - t1
+    s0 = jnp.sqrt((X0c ** 2).sum(axis=-1).mean())
+    s1 = jnp.sqrt((X1c ** 2).sum(axis=-1).mean())
+    U, _, Vt = jnp.linalg.svd((X0c / s0).T @ (X1c / s1))
+    R = U @ Vt
+    R = jnp.where(jnp.linalg.det(R) < 0, R.at[2].multiply(-1), R)
+    return dict(t0=t0, t1=t1, s0=s0, s1=s1, R=R)
+
+
+def apply_sim3_to_poses(pose, sim3, direction="pred_to_GT"):
+    """Align a pose set using a sim3 from ``procrustes_analysis``.
+
+    direction="pred_to_GT" mirrors reference model/barf.py:117-121 (align the
+    optimized poses into the GT frame for error computation);
+    direction="GT_to_pred" mirrors model/barf.py:237-243 (move GT test poses
+    into the optimized frame for rendering).
+    """
+    from . import pose as pose_ops
+    center = jnp.zeros((pose.shape[0], 1, 3), dtype=pose.dtype)
+    center = pose_ops.cam2world(center, pose)[:, 0]
+    R, t0, t1, s0, s1 = sim3["R"], sim3["t0"], sim3["t1"], sim3["s0"], sim3["s1"]
+    if direction == "pred_to_GT":
+        center_aligned = (center - t1) / s1 @ R.T * s0 + t0
+        R_aligned = pose[..., :3] @ R.T
+    else:
+        center_aligned = (center - t0) / s0 @ R * s1 + t1
+        R_aligned = pose[..., :3] @ R
+    t_aligned = (-R_aligned @ center_aligned[..., None])[..., 0]
+    return pose_ops.make_pose(R=R_aligned, t=t_aligned)
+
+
+def align_umeyama(model, data, known_scale=False, yaw_only=False):
+    """Umeyama sim(3): s, R, t with model ~= s * R @ data + t (host, float64).
+
+    Port of the vendored ATE toolbox (third_party/ATE/align_trajectory.py:28-84)
+    used by the DTU alignment path.
+    """
+    model = np.asarray(model, dtype=np.float64)
+    data = np.asarray(data, dtype=np.float64)
+    mu_M = model.mean(axis=0)
+    mu_D = data.mean(axis=0)
+    model_zc = model - mu_M
+    data_zc = data - mu_D
+    n = model.shape[0]
+    C = (model_zc.T @ data_zc) / n
+    sigma2 = (data_zc ** 2).sum() / n
+    U, D_diag, Vt = np.linalg.svd(C)
+    D = np.diag(D_diag)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt.T) < 0:
+        S[2, 2] = -1
+    if yaw_only:
+        rot_C = data_zc.T @ model_zc
+        theta = _get_best_yaw(rot_C)
+        R = _rot_z(theta)
+    else:
+        R = U @ S @ Vt
+    if known_scale:
+        s = 1.0
+    else:
+        s = float(np.trace(D @ S) / sigma2)
+    t = mu_M - s * R @ mu_D
+    return s, R, t
+
+
+def _get_best_yaw(C):
+    A = C[0, 1] - C[1, 0]
+    B = C[0, 0] + C[1, 1]
+    return np.pi / 2 - np.arctan2(B, A)
+
+
+def _rot_z(theta):
+    R = np.eye(3)
+    R[0, 0] = np.cos(theta)
+    R[0, 1] = -np.sin(theta)
+    R[1, 0] = np.sin(theta)
+    R[1, 1] = np.cos(theta)
+    return R

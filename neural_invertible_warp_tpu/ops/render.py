@@ -1,0 +1,49 @@
+"""Alpha compositing (volume-rendering quadrature).
+
+Parity with reference model/nerf.py:458-474 / nerf_inn_llff.py:793-809:
+    dist_i  = (d_{i+1} - d_i) * ||ray||     (last interval = 1e10)
+    alpha_i = 1 - exp(-sigma_i * dist_i)
+    T_i     = exp(-sum_{j<i} sigma_j * dist_j)   (exclusive cumsum)
+    w_i     = T_i * alpha_i
+    rgb     = sum_i w_i rgb_i ; depth = sum_i w_i d_i ; opacity = sum_i w_i
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def composite(ray, rgb_samples, density_samples, depth_samples,
+              setbg_opaque=False, bgcolor=None):
+    """Composite per-sample radiance into per-ray outputs.
+
+    Args:
+        ray: [B,R,3] unnormalized ray directions (length scales the intervals).
+        rgb_samples: [B,R,N,3]; density_samples: [B,R,N]; depth_samples: [B,R,N,1].
+    Returns:
+        (rgb [B,R,3], depth [B,R,1], opacity [B,R,1], prob [B,R,N,1])
+    """
+    ray_length = jnp.linalg.norm(ray, axis=-1, keepdims=True)            # [B,R,1]
+    depth = depth_samples[..., 0]                                        # [B,R,N]
+    intv = depth[..., 1:] - depth[..., :-1]
+    intv = jnp.concatenate([intv, jnp.full_like(intv[..., :1], 1e10)], axis=-1)
+    dist = intv * ray_length                                             # [B,R,N]
+    sigma_delta = density_samples * dist
+    alpha = 1 - jnp.exp(-sigma_delta)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(sigma_delta[..., :1]), sigma_delta[..., :-1]], axis=-1)
+    T = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+    prob = (T * alpha)[..., None]                                        # [B,R,N,1]
+    out_depth = jnp.sum(depth_samples * prob, axis=-2)                   # [B,R,1]
+    out_rgb = jnp.sum(rgb_samples * prob, axis=-2)                       # [B,R,3]
+    opacity = jnp.sum(prob, axis=-2)                                     # [B,R,1]
+    if setbg_opaque:
+        out_rgb = out_rgb + bgcolor * (1 - opacity)
+    return out_rgb, out_depth, opacity, prob
+
+
+def invdepth_map(depth, opacity, ndc=False, eps=1e-10):
+    """Inverse-depth visualization map (reference model/nerf.py:144)."""
+    if ndc:
+        return (1 - depth) / opacity
+    return 1.0 / (depth / opacity + eps)

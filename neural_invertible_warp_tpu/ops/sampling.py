@@ -1,0 +1,65 @@
+"""Depth sampling along rays: stratified and inverse-CDF (hierarchical).
+
+Parity with reference model/nerf.py:334-365, rewritten without gathers/
+searchsorted loops: the CDF inversion is a dense comparison + take_along_axis,
+which XLA tiles cleanly on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_depth(key, batch_size, num_rays, num_samples, depth_range,
+                 param="metric", stratified=True, dtype=jnp.float32):
+    """Stratified depth samples, [B,R,K,1].
+
+    depth = (u + arange(K)) / K * (far - near) + near, u ~ U[0,1) or 0.5;
+    param == "inverse" returns 1/(depth + 1e-8) (disparity sampling).
+    """
+    depth_min, depth_max = depth_range
+    if stratified:
+        rand = jax.random.uniform(key, (batch_size, num_rays, num_samples, 1), dtype=dtype)
+    else:
+        rand = jnp.full((batch_size, num_rays, num_samples, 1), 0.5, dtype=dtype)
+    rand = rand + jnp.arange(num_samples, dtype=dtype)[None, None, :, None]
+    depth = rand / num_samples * (depth_max - depth_min) + depth_min
+    if param == "inverse":
+        depth = 1.0 / (depth + 1e-8)
+    elif param != "metric":
+        raise ValueError("unknown depth param: {}".format(param))
+    return depth
+
+
+def sample_depth_from_pdf(pdf, num_samples, num_samples_fine, depth_range,
+                          dtype=jnp.float32):
+    """Deterministic inverse-transform sampling from per-ray PDFs.
+
+    Args:
+        pdf: [B,R,N] compositing weights (need not be normalized; parity with
+             reference model/nerf.py:346-365 which uses raw probabilities).
+    Returns:
+        [B,R,Nf,1] fine depth samples (in metric depth).
+    """
+    depth_min, depth_max = depth_range
+    N = num_samples
+    cdf = jnp.cumsum(pdf, axis=-1)                                  # [B,R,N]
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [B,R,N+1]
+    # uniform bin midpoints in [0,1]
+    grid = jnp.linspace(0.0, 1.0, num_samples_fine + 1, dtype=dtype)
+    unif = 0.5 * (grid[:-1] + grid[1:])                             # [Nf]
+    unif = jnp.broadcast_to(unif, cdf.shape[:-1] + (num_samples_fine,))
+    # searchsorted(right=True): idx = #\{cdf <= u\}; dense compare beats gather loops on TPU
+    idx = jnp.sum(cdf[..., None, :] <= unif[..., :, None], axis=-1)  # [B,R,Nf] in {1..N+1}
+    depth_bin = jnp.linspace(depth_min, depth_max, N + 1, dtype=dtype)
+    depth_bin = jnp.broadcast_to(depth_bin, cdf.shape)               # [B,R,N+1]
+    lo = jnp.clip(idx - 1, 0, None)
+    hi = jnp.clip(idx, None, N)
+    depth_low = jnp.take_along_axis(depth_bin, lo, axis=-1)
+    depth_high = jnp.take_along_axis(depth_bin, hi, axis=-1)
+    cdf_low = jnp.take_along_axis(cdf, lo, axis=-1)
+    cdf_high = jnp.take_along_axis(cdf, hi, axis=-1)
+    t = (unif - cdf_low) / (cdf_high - cdf_low + 1e-8)
+    depth = depth_low + t * (depth_high - depth_low)
+    return depth[..., None]
