@@ -1,0 +1,116 @@
+"""Synthetic on-disk datasets in the exact reference formats, for tests/bench.
+
+The scenes are procedurally generated but written as real ``poses_bounds.npy``
+/ ``transforms_*.json`` files so the loaders exercise the true parsing paths.
+"""
+
+import json
+import os
+
+import numpy as np
+import imageio.v2 as imageio
+
+from neural_invertible_warp_tpu.dotdict import DotDict
+
+
+def look_at_c2w(eye, target=(0, 0, 0), up=(0, 1, 0)):
+    """OpenGL-style camera-to-world matrix (camera looks down -z)."""
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    up = np.asarray(up, np.float64)
+    fwd = eye - target  # OpenGL: camera z points backwards
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(fwd, right)
+    R = np.stack([right, true_up, fwd], axis=1)
+    return np.concatenate([R, eye[:, None]], axis=1).astype(np.float32)  # [3,4]
+
+
+def _toy_image(H, W, seed, rgba=False):
+    """A smooth procedural image (distinct per seed)."""
+    r = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.stack([
+        0.5 + 0.5 * np.sin(xx / W * (3 + seed % 3) + r.rand() * 6),
+        0.5 + 0.5 * np.cos(yy / H * (2 + seed % 4) + r.rand() * 6),
+        0.5 + 0.5 * np.sin((xx + yy) / (H + W) * 5 + r.rand() * 6),
+    ], axis=-1)
+    img8 = (img * 255).astype(np.uint8)
+    if rgba:
+        alpha = np.full((H, W, 1), 255, np.uint8)
+        img8 = np.concatenate([img8, alpha], axis=-1)
+    return img8
+
+
+def make_blender_scene(root, scene="toy", n_train=6, n_val=2, n_test=2,
+                       img_size=40, radius=4.0, seed=0):
+    """Write a blender-format scene; returns its camera_angle_x."""
+    rng = np.random.RandomState(seed)
+    path = os.path.join(root, scene)
+    os.makedirs(path, exist_ok=True)
+    camera_angle_x = 0.8
+    counts = dict(train=n_train, val=n_val, test=n_test)
+    for split, n in counts.items():
+        frames = []
+        os.makedirs(os.path.join(path, split), exist_ok=True)
+        for i in range(n):
+            theta = rng.rand() * 2 * np.pi
+            phi = 0.3 + rng.rand() * 0.5
+            eye = radius * np.array([
+                np.cos(theta) * np.cos(phi),
+                np.sin(phi),
+                np.sin(theta) * np.cos(phi)])
+            c2w = look_at_c2w(eye)
+            mat = np.concatenate([c2w, [[0, 0, 0, 1]]], axis=0)
+            fp = "./{}/r_{}".format(split, i)
+            imageio.imwrite(os.path.join(path, split, "r_{}.png".format(i)),
+                            _toy_image(img_size, img_size, seed * 100 + i, rgba=True))
+            frames.append(dict(file_path=fp, transform_matrix=mat.tolist()))
+        with open(os.path.join(path, "transforms_{}.json".format(split)), "w") as f:
+            json.dump(dict(camera_angle_x=camera_angle_x, frames=frames), f)
+    return camera_angle_x
+
+
+def make_llff_scene(root, scene="toyfern", n_images=8, img_size=(48, 64), seed=0):
+    """Write an llff-format scene (poses_bounds.npy + images/)."""
+    rng = np.random.RandomState(seed)
+    path = os.path.join(root, scene)
+    img_dir = os.path.join(path, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    raw_H, raw_W, focal = 3024.0, 4032.0, 3260.0
+    rows = []
+    for i in range(n_images):
+        # forward-facing cluster of c2w poses ([down,right,back] raw convention)
+        eye = np.array([0.1 * rng.randn(), 0.1 * rng.randn(), 4.0 + 0.2 * rng.randn()])
+        c2w = look_at_c2w(eye, target=(0.05 * rng.randn(), 0.05 * rng.randn(), 0))
+        # invert the loader's axis swap so parse recovers c2w-like matrices:
+        # loader does new0 = old1, new1 = -old0  =>  old0 = -new1, old1 = new0
+        raw = c2w.copy()
+        raw[..., 0], raw[..., 1] = -c2w[..., 1], c2w[..., 0]
+        hwf = np.array([raw_H, raw_W, focal], np.float32)[:, None]
+        row = np.concatenate([np.concatenate([raw, hwf], axis=1).reshape(-1),
+                              np.array([2.0 + rng.rand() * 0.1, 8.0])])
+        rows.append(row)
+        imageio.imwrite(os.path.join(img_dir, "img_{:03d}.png".format(i)),
+                        _toy_image(img_size[0], img_size[1], seed * 100 + i))
+    np.save(os.path.join(path, "poses_bounds.npy"), np.stack(rows))
+    return path
+
+
+def blender_opt(root, H=40, W=40, scene="toy", bgcolor=1):
+    return DotDict(dict(
+        H=H, W=W,
+        data=dict(root=root, dataset="blender", scene=scene, image_size=[H, W],
+                  num_workers=2, preload=True, bgcolor=bgcolor, augment={},
+                  center_crop=None, val_on_test=False, train_sub=None, val_sub=None),
+    ))
+
+
+def llff_opt(root, H=24, W=32, scene="toyfern"):
+    return DotDict(dict(
+        H=H, W=W,
+        data=dict(root=root, dataset="llff", scene=scene, image_size=[H, W],
+                  num_workers=2, preload=True, val_ratio=0.25, augment={},
+                  center_crop=None, val_on_test=False, train_sub=None, val_sub=None),
+    ))
