@@ -1,0 +1,131 @@
+"""Training engine: dataset loading, train loop, logging, checkpointing.
+
+Drives a ``system`` (models/system.py) through the reference lifecycle
+(load_dataset -> build_networks -> setup_optimizer -> restore_checkpoint ->
+train; reference train.py:20-29) with a single jitted step. Host work per
+iteration is one dispatch + freq-gated scalar reads.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+
+from .. import models as model_registry
+from ..data import get_dataset
+from ..utils import ckpt as ckpt_util
+from ..utils import log
+
+
+class Trainer:
+
+    def __init__(self, opt):
+        self.opt = opt
+        os.makedirs(opt.output_path, exist_ok=True)
+        self.tb = None
+
+    # ----------------------------------------------------------------- setup
+
+    def load_dataset(self, eval_split="val"):
+        opt = self.opt
+        data_mod = get_dataset(opt.data.dataset)
+        log.info("loading training data...")
+        self.train_data = data_mod.Dataset(opt, split="train",
+                                           subset=opt.data.get("train_sub"))
+        log.info("loading test data...")
+        if opt.data.get("val_on_test"):
+            eval_split = "test"
+        self.test_data = data_mod.Dataset(opt, split=eval_split,
+                                          subset=opt.data.get("val_sub"))
+
+    def build_system(self):
+        opt = self.opt
+        log.info("building networks...")
+        cls = model_registry.get_system_class(opt.model)
+        self.system = cls(opt)
+        self.system.attach_data(self.train_data.all_arrays(opt),
+                                self.test_data.all_arrays(opt))
+        self.state = self.system.init_state(jax.random.PRNGKey(opt.seed or 0))
+        self.iter_start = 0
+
+    def restore_checkpoint(self):
+        opt = self.opt
+        if opt.get("resume"):
+            self.state, it = ckpt_util.restore_checkpoint(
+                opt.output_path, self.state, resume=opt.resume)
+            self.iter_start = it
+        elif opt.get("load"):
+            self.state, _ = ckpt_util.restore_checkpoint(
+                opt.output_path, self.state, load_name=opt.load)
+        else:
+            log.info("initializing weights from scratch...")
+
+    def setup_visualizer(self):
+        if self.opt.get("tb") is not None:
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb = SummaryWriter(logdir=self.opt.output_path, flush_secs=10)
+            except Exception as e:  # pragma: no cover
+                log.warn("tensorboard writer unavailable: {}".format(e))
+
+    # ----------------------------------------------------------------- train
+
+    def train(self):
+        opt = self.opt
+        log.title("TRAINING START")
+        base_key = jax.random.PRNGKey(opt.seed or 0)
+        t_start = time.time()
+        max_iter = opt.max_iter
+        early = opt.freq.get("early_termination") or max_iter
+        for it in range(self.iter_start, min(max_iter, early)):
+            key = jax.random.fold_in(base_key, it)
+            self.state, metrics = self.system.train_step(self.state, key)
+            it1 = it + 1
+            if it1 % opt.freq.scalar == 0:
+                self.log_scalars(metrics, it1)
+            if it1 % opt.freq.val == 0:
+                self.run_validation(it1)
+            if it1 % opt.freq.ckpt == 0:
+                self.save_checkpoint(it1)
+        elapsed = time.time() - t_start
+        n_steps = min(max_iter, early) - self.iter_start
+        if n_steps > 0:
+            log.info("trained {} iters in {:.1f}s ({:.2f} it/s)".format(
+                n_steps, elapsed, n_steps / max(elapsed, 1e-9)))
+        self.save_checkpoint(min(max_iter, early))
+        if self.tb:
+            self.tb.flush()
+        log.title("TRAINING DONE")
+
+    def log_scalars(self, metrics, step, split="train"):
+        host = {k: float(v) for k, v in metrics.items()}
+        msg = " ".join("{}={:.4g}".format(k, v) for k, v in sorted(host.items()))
+        log.info("it {}: {}".format(step, msg))
+        if self.tb:
+            for k, v in host.items():
+                self.tb.add_scalar("{}/{}".format(split, k), v, step)
+
+    def run_validation(self, step):
+        res = self.system.validate(self.state,
+                                   max_views=self.opt.data.get("val_sub"))
+        scalars = {k: v for k, v in res.items() if np.isscalar(v)}
+        self.log_scalars(scalars, step, split="val")
+        return res
+
+    def save_checkpoint(self, it):
+        path = ckpt_util.save_checkpoint(self.opt.output_path, self.state, it)
+        log.info("checkpoint saved: {}".format(path))
+
+
+def run_training(opt):
+    """Full lifecycle, mirroring reference train.py:20-29."""
+    trainer = Trainer(opt)
+    trainer.load_dataset()
+    trainer.build_system()
+    trainer.restore_checkpoint()
+    trainer.setup_visualizer()
+    trainer.train()
+    return trainer

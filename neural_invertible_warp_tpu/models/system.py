@@ -1,0 +1,293 @@
+"""Base NeRF system: parameters, optimizers, jitted train step, renderer.
+
+This replaces the reference's Model/Graph class pyramid (reference
+model/base.py, model/nerf.py) with a functional design: all learnable state
+lives in a single pytree, one jitted ``train_step`` consumes the whole
+prefetched dataset (the reference trains on all images per step — SURVEY.md
+Q7), and full-image rendering is a ``lax.map`` over ray chunks instead of a
+Python loop (reference render_by_slices, model/nerf.py:321-332).
+
+Subclasses override the pose providers and loss set; the render core is shared.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import align, nerf_mlp, posenc, rays, render, sampling
+from ..ops import pose as pose_ops
+from ..utils import log
+
+
+def exp_decay_gamma(opt, lr, lr_end):
+    """gamma = (lr_end/lr)^(1/max_iter) (reference model/nerf.py:42-44)."""
+    if lr_end:
+        return (lr_end / lr) ** (1.0 / opt.max_iter)
+    return 1.0
+
+
+class NerfSystem:
+    """Vanilla NeRF with known poses (reference model/nerf.py)."""
+
+    model_name = "nerf"
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.H, self.W = opt.H, opt.W
+        self.HW = opt.H * opt.W
+        self.arch = opt.arch
+        self.n_train = None          # set by attach_data
+        self.train_data = None
+        self.test_data = None
+        self.sim3 = None             # set by prealignment (pose models)
+        self._train_step_jit = None
+        self._render_image_jit = None
+
+    # ------------------------------------------------------------------ data
+
+    def attach_data(self, train_arrays, test_arrays):
+        """Upload the prefetched splits to device (replaces prefetch_all_data)."""
+        def to_device(arrays):
+            d = {k: jnp.asarray(v) for k, v in arrays.items()}
+            B = d["image"].shape[0]
+            d["pixels"] = d["image"].reshape(B, -1, 3)   # [B,HW,3] row-major
+            return d
+        self.train_data = to_device(train_arrays)
+        self.test_data = to_device(test_arrays)
+        self.n_train = int(self.train_data["image"].shape[0])
+
+    # ---------------------------------------------------------------- params
+
+    def init_params(self, key):
+        params = {}
+        key, k1, k2 = jax.random.split(key, 3)
+        params["nerf"] = nerf_mlp.init_nerf_params(
+            k1, self.arch, view_dep=self.opt.nerf.view_dep)
+        if self.opt.nerf.fine_sampling:
+            params["nerf_fine"] = nerf_mlp.init_nerf_params(
+                k2, self.arch, view_dep=self.opt.nerf.view_dep)
+        return params
+
+    def init_aux(self, key):
+        """Non-optimized state carried through training (pose readouts etc.)."""
+        return {}
+
+    def param_labels(self, params):
+        """Label each top-level param group for its optimizer."""
+        return {k: "main" for k in params}
+
+    def make_optimizers(self):
+        """dict label -> optax transform. Adam + per-step exponential decay
+        (reference model/nerf.py:33-46)."""
+        opt = self.opt
+        gamma = exp_decay_gamma(opt, opt.optim.lr, opt.optim.get("lr_end"))
+        sched = lambda count: opt.optim.lr * gamma ** count
+        return {"main": optax.adam(learning_rate=sched)}
+
+    def init_state(self, key):
+        k_param, k_aux = jax.random.split(key)
+        params = self.init_params(k_param)
+        labels = self.param_labels(params)
+        self.tx = optax.multi_transform(self.make_optimizers(), labels)
+        opt_state = self.tx.init(params)
+        return dict(params=params, opt_state=opt_state,
+                    step=jnp.zeros((), jnp.int32), aux=self.init_aux(k_aux))
+
+    # ----------------------------------------------------------------- poses
+
+    def get_train_pose(self, params, aux, data):
+        return data["pose"]
+
+    def get_eval_pose(self, params, aux, pose_GT):
+        """Pose used to render a val/test view (sim3-aligned for pose models)."""
+        return pose_GT
+
+    # ---------------------------------------------------------------- render
+
+    def render_rays(self, params, center, ray, key, mode="train", progress=1.0,
+                    depth_range=None, intr=None):
+        """Shared render core: stratified sampling -> field -> compositing.
+
+        center/ray: [B,R,3]. Returns dict(rgb, depth, opacity[, *_fine]).
+        """
+        opt = self.opt
+        B, R = center.shape[0], center.shape[1]
+        k_depth, k_noise = jax.random.split(key)
+        stratified = opt.nerf.sample_stratified and mode == "train"
+        depth_range = depth_range if depth_range is not None else tuple(opt.nerf.depth.range)
+        depth = sampling.sample_depth(
+            k_depth, B, R, opt.nerf.sample_intvs, depth_range,
+            param=opt.nerf.depth.param, stratified=stratified)
+        if opt.camera.ndc:
+            assert intr is not None, "NDC conversion needs per-image intrinsics"
+            center, ray = rays.convert_NDC(center, ray, intr)
+        common = dict(
+            view_dep=opt.nerf.view_dep,
+            density_activ=self.arch.get("density_activ", "softplus"),
+            progress=progress,
+            barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f") else None,
+            density_noise_reg=opt.nerf.get("density_noise_reg") if mode == "train" else None,
+            noise_key=k_noise,
+        )
+        rgb_s, dens = nerf_mlp.apply_nerf_samples(
+            params["nerf"], self.arch, center, ray, depth, **common)
+        rgb, d, opac, prob = render.composite(
+            ray, rgb_s, dens, depth,
+            setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
+            bgcolor=opt.data.get("bgcolor"))
+        out = dict(rgb=rgb, depth=d, opacity=opac)
+        if opt.nerf.fine_sampling:
+            pdf = jax.lax.stop_gradient(prob[..., 0])
+            depth_fine = sampling.sample_depth_from_pdf(
+                pdf, opt.nerf.sample_intvs, opt.nerf.sample_intvs_fine, depth_range)
+            depth_all = jnp.sort(jnp.concatenate([depth, depth_fine], axis=2), axis=2)
+            rgb_s, dens = nerf_mlp.apply_nerf_samples(
+                params["nerf_fine"], self.arch, center, ray, depth_all, **common)
+            rgb_f, d_f, opac_f, _ = render.composite(
+                ray, rgb_s, dens, depth_all,
+                setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
+                bgcolor=opt.data.get("bgcolor"))
+            out.update(rgb_fine=rgb_f, depth_fine=d_f, opacity_fine=opac_f)
+        return out
+
+    # ---------------------------------------------------------------- losses
+
+    def compute_loss(self, params, aux, data, out, target, step):
+        losses = {"render": jnp.mean((out["rgb"] - target) ** 2)}
+        if self.opt.loss_weight.get("render_fine") is not None:
+            losses["render_fine"] = jnp.mean((out["rgb_fine"] - target) ** 2)
+        return losses
+
+    def summarize_loss(self, losses):
+        """total = sum 10^w_k * L_k (reference model/base.py:130-142)."""
+        total = 0.0
+        for k, l in losses.items():
+            w = self.opt.loss_weight.get(k)
+            if w is not None:
+                total = total + (10.0 ** float(w)) * l
+        return total
+
+    # ------------------------------------------------------------ train step
+
+    def _forward_train(self, params, aux, data, ray_idx, key, step):
+        """One training forward pass over the sampled rays; returns (out, target, extras)."""
+        opt = self.opt
+        pose = self.get_train_pose(params, aux, data)
+        center, ray = rays.get_center_and_ray(pose, data["intr"], H=self.H,
+                                              W=self.W, ray_idx=ray_idx)
+        progress = step.astype(jnp.float32) / opt.max_iter
+        out = self.render_rays(params, center, ray, key, mode="train",
+                               progress=progress, intr=data["intr"])
+        target = data["pixels"][:, ray_idx]
+        return out, target, {}
+
+    def update_aux(self, aux, extras, step):
+        return aux
+
+    def make_train_step(self):
+        opt = self.opt
+        n_rays = opt.nerf.rand_rays // self.n_train
+
+        def step_fn(state, data, key):
+            step = state["step"]
+            k_perm, k_render = jax.random.split(key)
+            ray_idx = jax.random.permutation(k_perm, self.HW)[:n_rays]
+
+            def loss_fn(params):
+                out, target, extras = self._forward_train(
+                    params, state["aux"], data, ray_idx, k_render, step)
+                losses = self.compute_loss(params, state["aux"], data, out,
+                                           target, step)
+                return self.summarize_loss(losses), (losses, extras)
+
+            (total, (losses, extras)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["params"])
+            updates, opt_state = self.tx.update(grads, state["opt_state"],
+                                                state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            aux = self.update_aux(state["aux"], extras, step)
+            metrics = {"loss_" + k: v for k, v in losses.items()}
+            metrics["loss_all"] = total
+            metrics["psnr"] = -10.0 * jnp.log10(losses["render"])
+            return dict(params=params, opt_state=opt_state, step=step + 1,
+                        aux=aux), metrics
+
+        return step_fn
+
+    def train_step(self, state, key):
+        if self._train_step_jit is None:
+            self._train_step_jit = jax.jit(self.make_train_step())
+        return self._train_step_jit(state, self.train_data, key)
+
+    # ----------------------------------------------------------- eval render
+
+    def make_render_image(self):
+        """Full-image renderer: lax.map over ray chunks (static shapes)."""
+        opt = self.opt
+        chunk = min(opt.nerf.rand_rays, self.HW)
+        n_chunks = -(-self.HW // chunk)
+        padded = n_chunks * chunk
+
+        def render_one(params, aux, pose, intr, progress):
+            idx_all = jnp.arange(padded) % self.HW
+            idx_chunks = idx_all.reshape(n_chunks, chunk)
+
+            def body(ray_idx):
+                center, ray = rays.get_center_and_ray(
+                    pose, intr, H=self.H, W=self.W, ray_idx=ray_idx)
+                out = self.render_rays(params, center, ray,
+                                       jax.random.PRNGKey(0), mode="eval",
+                                       progress=progress, intr=intr)
+                keep = ("rgb", "depth", "opacity", "rgb_fine", "depth_fine",
+                        "opacity_fine")
+                return {k: v for k, v in out.items() if k in keep}
+
+            outs = jax.lax.map(body, idx_chunks)
+            # [n_chunks, 1, chunk, C] -> [1, HW, C]
+            return {k: v.swapaxes(0, 1).reshape(v.shape[1], padded, -1)[:, :self.HW]
+                    for k, v in outs.items()}
+
+        return render_one
+
+    def render_image(self, params, aux, pose, intr, progress=1.0):
+        if self._render_image_jit is None:
+            self._render_image_jit = jax.jit(self.make_render_image())
+        return self._render_image_jit(params, aux, pose, intr,
+                                      jnp.float32(progress))
+
+    # ------------------------------------------------------------ validation
+
+    def get_all_training_poses(self, state):
+        """(pose_pred or None, pose_GT) on host (reference model/nerf.py:156-160)."""
+        return None, np.asarray(self.train_data["pose"])
+
+    def prealign(self, state):
+        """Hook: pose-optimizing models compute the val-time sim3 here."""
+        return None
+
+    def validate(self, state, max_views=None):
+        """Render held-out views, return PSNR and mean losses."""
+        self.prealign(state)
+        data = self.test_data
+        n = int(data["image"].shape[0])
+        if max_views:
+            n = min(n, max_views)
+        progress = float(state["step"]) / self.opt.max_iter
+        psnrs = []
+        first_vis = None
+        for i in range(n):
+            pose_GT = data["pose"][i:i + 1]
+            pose = self.get_eval_pose(state["params"], state["aux"], pose_GT)
+            out = self.render_image(state["params"], state["aux"], pose,
+                                    data["intr"][i:i + 1], progress)
+            key = "rgb_fine" if "rgb_fine" in out else "rgb"
+            mse = float(jnp.mean((out[key] - data["pixels"][i:i + 1]) ** 2))
+            psnrs.append(-10.0 * np.log10(mse))
+            if first_vis is None:
+                first_vis = {k: np.asarray(v) for k, v in out.items()}
+        return dict(psnr_val=float(np.mean(psnrs)), vis=first_vis)

@@ -1,0 +1,78 @@
+"""Checkpointing: latest + per-iteration snapshots.
+
+Layout parity with reference util.py:124-163:
+  <output_path>/model.ckpt          (latest)
+  <output_path>/model/<iter>.ckpt   (numbered snapshots)
+State pytrees are stored as pickled numpy trees (framework-independent, no
+device buffers in the file). ``restore`` tolerates missing/extra top-level
+param groups like the reference's per-child partial load (util.py:121-145).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import jax
+
+from . import log
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(output_path, state, it, latest_name="model.ckpt"):
+    payload = dict(iter=int(it), state=_to_numpy(state))
+    os.makedirs(os.path.join(output_path, "model"), exist_ok=True)
+    numbered = os.path.join(output_path, "model", "{}.ckpt".format(int(it)))
+    with open(numbered, "wb") as f:
+        pickle.dump(payload, f)
+    latest = os.path.join(output_path, latest_name)
+    tmp = latest + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, latest)
+    return numbered
+
+
+def restore_checkpoint(output_path, state_template, resume=True,
+                       load_name=None):
+    """Load a checkpoint into the shape of ``state_template``.
+
+    resume=True loads the latest; an integer loads that snapshot;
+    load_name loads an explicit path. Returns (state, iter).
+    """
+    if load_name is not None:
+        path = load_name
+    elif resume is True:
+        path = os.path.join(output_path, "model.ckpt")
+    else:
+        path = os.path.join(output_path, "model", "{}.ckpt".format(int(resume)))
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    saved = payload["state"]
+
+    def merge(tmpl, loaded):
+        if isinstance(tmpl, dict):
+            out = {}
+            for k in tmpl:
+                if isinstance(loaded, dict) and k in loaded:
+                    out[k] = merge(tmpl[k], loaded[k])
+                else:
+                    log.warn("checkpoint missing key '{}'; keeping init".format(k))
+                    out[k] = tmpl[k]
+            return out
+        if isinstance(tmpl, tuple):
+            merged = [merge(t, l) for t, l in zip(tmpl, loaded)]
+            if hasattr(tmpl, "_fields"):  # namedtuple (optax states)
+                return type(tmpl)(*merged)
+            return tuple(merged)
+        if isinstance(tmpl, list):
+            return [merge(t, l) for t, l in zip(tmpl, loaded)]
+        return loaded
+
+    state = merge(state_template, saved)
+    log.info("restored checkpoint {} (iter {})".format(path, payload["iter"]))
+    return state, payload["iter"]

@@ -114,3 +114,51 @@ def llff_opt(root, H=24, W=32, scene="toyfern"):
                   num_workers=2, preload=True, val_ratio=0.25, augment={},
                   center_crop=None, val_on_test=False, train_sub=None, val_sub=None),
     ))
+
+
+# ---------------------------------------------------------------------------
+# View-consistent synthetic scene (analytic radiance field) for e2e tests
+# ---------------------------------------------------------------------------
+
+def analytic_render(pose_w2c, intr, H, W, n_samples=96, depth_range=(2.0, 6.0),
+                    bgcolor=1.0):
+    """Render an analytic soft-sphere scene from w2c poses. Returns [B,H,W,3]."""
+    import jax.numpy as jnp
+    from neural_invertible_warp_tpu.ops import rays, render, sampling
+    import jax
+
+    pose_w2c = jnp.asarray(pose_w2c)
+    intr = jnp.asarray(intr)
+    center, ray = rays.get_center_and_ray(pose_w2c, intr, H=H, W=W)
+    depth = sampling.sample_depth(jax.random.PRNGKey(0), pose_w2c.shape[0],
+                                  H * W, n_samples, depth_range,
+                                  stratified=False)
+    pts = center[..., None, :] + ray[..., None, :] * depth       # [B,HW,K,3]
+    r2 = jnp.sum(pts ** 2, axis=-1)
+    sigma = 25.0 * jax.nn.sigmoid(20.0 * (1.0 - r2))              # soft sphere r=1
+    rgb = jnp.clip(0.5 + 0.5 * jnp.tanh(2.0 * pts), 0.0, 1.0)     # position-colored
+    out_rgb, _, opac, _ = render.composite(ray, rgb, sigma, depth)
+    out_rgb = out_rgb + bgcolor * (1 - opac)
+    B = pose_w2c.shape[0]
+    return np.asarray(out_rgb).reshape(B, H, W, 3)
+
+
+def make_consistent_blender_scene(root, scene="sphere", n_train=6, n_val=2,
+                                  n_test=2, img_size=40, seed=0):
+    """Blender-format scene whose images are true renders of one 3D scene."""
+    from neural_invertible_warp_tpu.data import blender as blender_data
+
+    make_blender_scene(root, scene=scene, n_train=n_train, n_val=n_val,
+                       n_test=n_test, img_size=img_size, seed=seed)
+    opt = blender_opt(root, H=img_size, W=img_size, scene=scene)
+    for split in ("train", "val", "test"):
+        ds = blender_data.Dataset(opt, split=split)
+        arrays = ds.all_arrays(opt)
+        imgs = analytic_render(arrays["pose"], arrays["intr"], img_size, img_size)
+        for i in range(len(ds)):
+            rgba = np.concatenate([
+                (imgs[i] * 255).astype(np.uint8),
+                np.full((img_size, img_size, 1), 255, np.uint8)], axis=-1)
+            imageio.imwrite(
+                os.path.join(root, scene, split, "r_{}.png".format(i)), rgba)
+    return opt
