@@ -1,0 +1,225 @@
+"""Invertible-neural-warp pose models (the paper's contribution).
+
+Parity with reference model/barf_inn_llff.py + model/nerf_inn_llff.py:
+* each image gets a latent code (``warp_latent``; enc_type "l2fbarf" is a
+  learnable embedding, "posenc" a fixed frame-id encoding, "extrinsic" a
+  learnable 6-vector pushed through a PE; barf_inn_llff.py:41-51,333-346);
+* a shared invertible DeformNetwork warps the camera-frame ray points
+  ([grid on z=1 plane; camera center]) directly into world space with an
+  annealed-PE ratio alpha = clamp(iter / max_pe_iter) (barf_inn_llff.py:348-364);
+* rays are re-derived as grid - center and rendered from those local rays
+  (render_local; nerf_inn_llff.py:581-612);
+* the global-alignment loss fits a rigid pose to (camera-frame, warped) point
+  pairs by SVD each step, stores it as the pose readout, and penalizes the
+  deviation of the warp from that rigid fit (nerf_inn_llff.py:563-572 — the
+  SVD write-through of Q6 becomes an explicit ``aux`` update here, and the
+  loss differentiates through the SVD exactly like roma does);
+* pose evaluation/validation reuses the BARF Procrustes machinery on the
+  composed readout poses (barf_inn_llff.py:155-216).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import align, inn, lie, posenc, rays
+from ..ops import pose as pose_ops
+from .barf import BarfSystem
+
+
+class InnWarpSystem(BarfSystem):
+
+    model_name = "barf_inn_llff"
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.multires = opt.inn.real_nvp.multires
+        self.actfn = opt.inn.get("actfn", "softplus")
+        self.enc_type = opt.warp_latent.enc_type
+
+    # ---------------------------------------------------------------- params
+
+    def latent_dim(self):
+        opt = self.opt
+        if self.enc_type == "l2fbarf":
+            return opt.warp_latent.embed_dim
+        if self.enc_type == "posenc":
+            return 2 * opt.warp_latent.posenc.freq_len
+        if self.enc_type == "extrinsic":
+            return 6 + 2 * 6 * opt.warp_latent.extrinsic.L
+        raise NotImplementedError(self.enc_type)
+
+    def init_params(self, key):
+        opt = self.opt
+        key, k_nerf, k_warp, k_lat = jax.random.split(key, 4)
+        params = {}
+        from ..ops import nerf_mlp
+        params["nerf"] = nerf_mlp.init_nerf_params(
+            k_nerf, self.arch, view_dep=opt.nerf.view_dep)
+        if opt.nerf.fine_sampling:
+            key, k_fine = jax.random.split(key)
+            params["nerf_fine"] = nerf_mlp.init_nerf_params(
+                k_fine, self.arch, view_dep=opt.nerf.view_dep)
+        params["warp_mlp"] = inn.init_deform_params(
+            k_warp, self.latent_dim(), d_hidden=opt.inn.real_nvp.d_hidden,
+            n_blocks=3, n_layers=1, multires=self.multires)
+        if self.enc_type == "l2fbarf":
+            # torch.nn.Embedding default init: N(0, 1)
+            params["warp_latent"] = jax.random.normal(
+                k_lat, (self.n_train, opt.warp_latent.embed_dim))
+        elif self.enc_type == "extrinsic":
+            params["warp_latent"] = jax.random.normal(k_lat, (self.n_train, 6))
+        return params
+
+    def init_aux(self, key):
+        opt = self.opt
+        aux = {}
+        k_noise, _ = jax.random.split(key)
+        if opt.data.dataset == "blender":
+            noise_type = opt.camera.get("noise_type", "barf")
+            if noise_type == "barf" and opt.camera.get("noise_barf"):
+                se3_noise = jax.random.normal(k_noise, (self.n_train, 6)) \
+                    * opt.camera.noise_barf
+                aux["pose_noise"] = lie.se3_to_SE3(se3_noise)
+            elif noise_type == "l2g":
+                k_r, k_t = jax.random.split(k_noise)
+                so3_noise = jax.random.normal(k_r, (self.n_train, 3)) \
+                    * opt.camera.noise_l2g_r
+                t_noise = jax.random.normal(k_t, (self.n_train, 3)) \
+                    * opt.camera.noise_l2g_t
+                aux["pose_noise"] = jnp.concatenate(
+                    [lie.so3_to_SO3(so3_noise), t_noise[..., None]], axis=-1)
+        # pose readout, refreshed every step by the SVD fit
+        # (reference keeps it in an Embedding for checkpointing,
+        # barf_inn_llff.py:73-75)
+        pose0 = self._initial_pose_all(aux)
+        aux["global_rigid"] = pose0
+        return aux
+
+    def param_labels(self, params):
+        labels = {k: "main" for k in params}
+        labels["warp_mlp"] = "pose" if self.opt.inn.optimize.enabled else "frozen"
+        if "warp_latent" in params:
+            labels["warp_latent"] = ("latent" if self.opt.warp_latent.optimize.enabled
+                                     else "frozen")
+        return labels
+
+    def make_optimizers(self):
+        txs = super().make_optimizers()   # main + pose (warmup-aware)
+        opt = self.opt
+        from .system import exp_decay_gamma
+        gamma = exp_decay_gamma(opt, opt.optim.lr_pose, opt.optim.get("lr_pose_end"))
+        # the latent embedding shares the pose lr/schedule but, like the
+        # reference's second param group, is NOT subject to warmup
+        # (model/barf.py:46-55 applies warmup to param_groups[0] only)
+        txs["latent"] = optax.adam(
+            learning_rate=lambda count: opt.optim.lr_pose * gamma ** count)
+        txs["frozen"] = optax.set_to_zero()
+        return txs
+
+    # ----------------------------------------------------------------- poses
+
+    def _initial_pose_all(self, aux):
+        """Initial w2c poses for all train images (barf_inn_llff.py:63-71)."""
+        opt = self.opt
+        if opt.data.dataset == "blender" and self.train_data is not None:
+            pose = self.train_data["pose"]
+            if "pose_noise" in aux:
+                if opt.camera.get("noise_type") == "l2g":
+                    pose = pose_ops.compose([pose, aux["pose_noise"]])
+                else:
+                    pose = pose_ops.compose([aux["pose_noise"], pose])
+            return pose
+        return pose_ops.identity_pose((self.n_train,))
+
+    def _warp_feat(self, params):
+        """Per-image conditioning code (barf_inn_llff.py:333-346)."""
+        opt = self.opt
+        if self.enc_type == "l2fbarf":
+            return params["warp_latent"]
+        if self.enc_type == "posenc":
+            frame_id = (jnp.arange(1, self.n_train + 1, dtype=jnp.float32)
+                        / self.n_train)[:, None]
+            return posenc.positional_encoding(frame_id,
+                                              opt.warp_latent.posenc.freq_len)
+        if self.enc_type == "extrinsic":
+            rot, trans = params["warp_latent"][:, :3], params["warp_latent"][:, 3:]
+            L = opt.warp_latent.extrinsic.L
+            rot_enc = jnp.concatenate([rot, posenc.positional_encoding(rot, L)], -1)
+            trans_enc = jnp.concatenate([trans, posenc.positional_encoding(rot, L)], -1)
+            return jnp.concatenate([rot_enc, trans_enc], -1)
+        raise NotImplementedError(self.enc_type)
+
+    def alpha_ratio(self, step):
+        opt = self.opt
+        if opt.inn.real_nvp.get("c2f"):
+            return jnp.clip(step.astype(jnp.float32)
+                            / opt.inn.real_nvp.max_pe_iter, 0.0, 1.0)
+        return jnp.float32(1.0)
+
+    def warp_points(self, params, pts, step):
+        """Warp [B,N,3] camera-frame points into world space."""
+        feat = self._warp_feat(params)
+        return inn.deform_forward(params["warp_mlp"], feat, pts,
+                                  self.alpha_ratio(step),
+                                  multires=self.multires, actfn=self.actfn)
+
+    def get_train_pose(self, params, aux, data):
+        raise RuntimeError("INN models render from warped local rays; "
+                           "use _forward_train")
+
+    def get_all_training_poses(self, state):
+        """Pose readout = global_rigid ∘ initial (barf_inn_llff.py:155-169)."""
+        pose_init = self._initial_pose_all(state["aux"])
+        pose = pose_ops.compose([state["aux"]["global_rigid"], pose_init])
+        return np.asarray(pose), np.asarray(self.train_data["pose"])
+
+    # ------------------------------------------------------------- train fwd
+
+    def _forward_train(self, params, aux, data, ray_idx, key, step):
+        opt = self.opt
+        pose_init = None
+        if opt.data.dataset == "blender":
+            pose_init = self._initial_pose_all(aux)
+        center_cam, grid_cam = rays.get_unwarped_center_and_ray(
+            data["intr"], H=self.H, W=self.W, ray_idx=ray_idx,
+            pose_init=pose_init)
+        center_cam = jax.lax.stop_gradient(center_cam)
+        grid_cam = jax.lax.stop_gradient(grid_cam)
+        from ..parallel import mesh as mesh_lib
+        center_cam = mesh_lib.shard_batch_rays(center_cam)
+        grid_cam = mesh_lib.shard_batch_rays(grid_cam)
+        N = ray_idx.shape[0]
+        coords = jnp.concatenate([grid_cam, center_cam], axis=1)     # [B,2N,3]
+        warped = self.warp_points(params, coords, step)
+        grid_w, center_w = warped[:, :N], warped[:, N:]
+        ray = grid_w - center_w
+        progress = step.astype(jnp.float32) / opt.max_iter
+        out = self.render_rays(params, center_w, ray, key, mode="train",
+                               progress=progress, intr=data["intr"])
+        target = data["pixels"][:, ray_idx]
+        extras = dict(grid_cam=grid_cam, center_cam=center_cam,
+                      grid_w=grid_w, center_w=center_w)
+        return out, target, extras
+
+    def compute_loss(self, params, aux, data, out, target, step, extras):
+        losses = {"render": jnp.mean((out["rgb"] - target) ** 2)}
+        if self.opt.loss_weight.get("render_fine") is not None:
+            losses["render_fine"] = jnp.mean((out["rgb_fine"] - target) ** 2)
+        if self.opt.loss_weight.get("global_alignment") is not None:
+            source = jnp.concatenate([extras["grid_cam"], extras["center_cam"]], 1)
+            target_pts = jnp.concatenate([extras["grid_w"], extras["center_w"]], 1)
+            R, t = align.rigid_points_registration(target_pts, source)
+            svd_poses = jnp.concatenate([R, t[..., None]], axis=-1)   # w2c readout
+            losses["global_alignment"] = jnp.mean(
+                (target_pts - pose_ops.cam2world(source, svd_poses)) ** 2)
+            extras["svd_poses"] = jax.lax.stop_gradient(svd_poses)
+        return losses
+
+    def update_aux(self, aux, extras, step):
+        if "svd_poses" in extras:
+            aux = dict(aux, global_rigid=extras["svd_poses"])
+        return aux

@@ -21,6 +21,7 @@ import optax
 
 from ..ops import align, nerf_mlp, posenc, rays, render, sampling
 from ..ops import pose as pose_ops
+from ..parallel import mesh as mesh_lib
 from ..utils import log
 
 
@@ -157,7 +158,9 @@ class NerfSystem:
 
     # ---------------------------------------------------------------- losses
 
-    def compute_loss(self, params, aux, data, out, target, step):
+    def compute_loss(self, params, aux, data, out, target, step, extras):
+        """Loss dict; models may also record per-step readouts into ``extras``
+        (picked up by ``update_aux``)."""
         losses = {"render": jnp.mean((out["rgb"] - target) ** 2)}
         if self.opt.loss_weight.get("render_fine") is not None:
             losses["render_fine"] = jnp.mean((out["rgb_fine"] - target) ** 2)
@@ -180,6 +183,8 @@ class NerfSystem:
         pose = self.get_train_pose(params, aux, data)
         center, ray = rays.get_center_and_ray(pose, data["intr"], H=self.H,
                                               W=self.W, ray_idx=ray_idx)
+        center = mesh_lib.shard_batch_rays(center)
+        ray = mesh_lib.shard_batch_rays(ray)
         progress = step.astype(jnp.float32) / opt.max_iter
         out = self.render_rays(params, center, ray, key, mode="train",
                                progress=progress, intr=data["intr"])
@@ -196,13 +201,16 @@ class NerfSystem:
         def step_fn(state, data, key):
             step = state["step"]
             k_perm, k_render = jax.random.split(key)
-            ray_idx = jax.random.permutation(k_perm, self.HW)[:n_rays]
+            # one global permutation, then constrained onto the mesh: the ray
+            # batch (not the images) is the sharded axis (SURVEY.md §2.4)
+            ray_idx = mesh_lib.shard_rays(
+                jax.random.permutation(k_perm, self.HW)[:n_rays])
 
             def loss_fn(params):
                 out, target, extras = self._forward_train(
                     params, state["aux"], data, ray_idx, k_render, step)
                 losses = self.compute_loss(params, state["aux"], data, out,
-                                           target, step)
+                                           target, step, extras)
                 return self.summarize_loss(losses), (losses, extras)
 
             (total, (losses, extras)), grads = jax.value_and_grad(
@@ -291,3 +299,94 @@ class NerfSystem:
             if first_vis is None:
                 first_vis = {k: np.asarray(v) for k, v in out.items()}
         return dict(psnr_val=float(np.mean(psnrs)), vis=first_vis)
+
+
+# ---------------------------------------------------------------------------
+# Full evaluation (the reference's missing evaluate.py calls into this;
+# reference model/nerf.py:163-198 / model/barf.py:134-151)
+# ---------------------------------------------------------------------------
+
+def _save_png(path, arr):
+    import imageio.v2 as imageio
+    arr = np.clip(np.asarray(arr), 0.0, 1.0)
+    imageio.imwrite(path, (arr * 255).astype(np.uint8))
+
+
+class EvalMixin:
+    """evaluate_full for any system; mixed into NerfSystem below."""
+
+    def evaluate_full(self, state, output_path=None, dump_images=True,
+                      test_optim=None):
+        import os
+        from ..ops import lpips as lpips_mod
+        from ..ops import ssim as ssim_mod
+
+        opt = self.opt
+        self.prealign(state)
+        if output_path is None:
+            output_path = opt.output_path
+        test_path = os.path.join(output_path, "test_view")
+        if dump_images:
+            os.makedirs(test_path, exist_ok=True)
+
+        # pose error (pose-optimizing models only)
+        results = {}
+        if hasattr(self, "evaluate_camera_alignment"):
+            R_err, t_err = self.evaluate_camera_alignment(state)
+            results["rot_error_deg"] = float(np.rad2deg(np.mean(R_err)))
+            results["trans_error"] = float(np.mean(t_err))
+            with open(os.path.join(output_path, "quant_pose.txt"), "w") as f:
+                for i, (r, t) in enumerate(zip(R_err, t_err)):
+                    f.write("{} {} {}\n".format(i, float(r), float(t)))
+
+        if test_optim is None:
+            test_optim = bool(opt.optim.get("test_photo")) and \
+                hasattr(self, "test_time_optimized_pose")
+
+        data = self.test_data
+        n = int(data["image"].shape[0])
+        progress = float(state["step"]) / opt.max_iter
+        rows = []
+        for i in range(n):
+            pose_GT = data["pose"][i:i + 1]
+            intr = data["intr"][i:i + 1]
+            pose = self.get_eval_pose(state["params"], state["aux"], pose_GT)
+            if test_optim:
+                pose = self.test_time_optimized_pose(
+                    state, pose, intr, data["pixels"][i:i + 1],
+                    jax.random.PRNGKey(1000 + i), progress)
+            out = self.render_image(state["params"], state["aux"], pose, intr,
+                                    progress)
+            key = "rgb_fine" if "rgb_fine" in out else "rgb"
+            pred = np.asarray(out[key]).reshape(self.H, self.W, 3)
+            gt = np.asarray(data["image"][i])
+            mse = float(np.mean((pred - gt) ** 2))
+            psnr = -10.0 * np.log10(mse)
+            pred_t = jnp.asarray(pred).transpose(2, 0, 1)[None]
+            gt_t = jnp.asarray(gt).transpose(2, 0, 1)[None]
+            ssim_v = float(ssim_mod.ssim(pred_t, gt_t))
+            lpips_v = lpips_mod.lpips(pred_t * 2 - 1, gt_t * 2 - 1)
+            rows.append((psnr, ssim_v, lpips_v))
+            if dump_images:
+                depth_key = "depth_fine" if "depth_fine" in out else "depth"
+                opac_key = "opacity_fine" if "opacity_fine" in out else "opacity"
+                from ..ops.render import invdepth_map
+                inv = np.asarray(invdepth_map(
+                    jnp.asarray(out[depth_key]), jnp.asarray(out[opac_key]),
+                    ndc=bool(opt.camera.ndc))).reshape(self.H, self.W)
+                _save_png(os.path.join(test_path, "rgb_{}.png".format(i)), pred)
+                _save_png(os.path.join(test_path, "rgb_GT_{}.png".format(i)), gt)
+                _save_png(os.path.join(test_path, "depth_{}.png".format(i)),
+                          inv / max(inv.max(), 1e-8))
+        results["PSNR"] = float(np.mean([r[0] for r in rows]))
+        results["SSIM"] = float(np.mean([r[1] for r in rows]))
+        results["LPIPS"] = float(np.mean([r[2] for r in rows]))
+        with open(os.path.join(output_path, "quant.txt"), "w") as f:
+            for i, r in enumerate(rows):
+                f.write("{} {} {} {}\n".format(i, *r))
+        log.info("PSNR {:.2f} | SSIM {:.3f} | LPIPS {}".format(
+            results["PSNR"], results["SSIM"], results["LPIPS"]))
+        return results
+
+
+NerfSystem.evaluate_full = EvalMixin.evaluate_full

@@ -16,7 +16,66 @@ Procrustes sim(3) analysis, and Umeyama trajectory alignment.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def procrustes_rotation(M):
+    """R = argmax_{R in SO(3)} <R, M> for [...,3,3] cross-covariances.
+
+    Forward is the usual SVD solution with det-flip. The backward pass uses the
+    orthogonal-Procrustes differential dR = U W V^T with
+    W_ij = (P_ij - P_ji) / (sigma_i + sigma_j) (same-sign block), which is
+    numerically stable when singular values are CLOSE — the generic SVD JVP has
+    1/(sigma_i^2 - sigma_j^2) terms that produce NaNs for near-symmetric point
+    clouds (e.g. the pixel grid fed to the INN warp). torch's SVD backward
+    clamps those denominators, jax's does not; this custom rule removes them.
+    """
+    R, _ = _procrustes_fwd_impl(M)
+    return R
+
+
+def _procrustes_fwd_impl(M):
+    U, s, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(U @ Vt)
+    c = jnp.concatenate([jnp.ones_like(det)[..., None],
+                         jnp.ones_like(det)[..., None],
+                         det[..., None]], axis=-1)           # [...,3]
+    R = (U * c[..., None, :]) @ Vt
+    return R, (U, s, Vt, c)
+
+
+def _procrustes_fwd(M):
+    R, res = _procrustes_fwd_impl(M)
+    return R, res
+
+
+def _procrustes_bwd(res, G):
+    U, s, Vt, c = res
+    eps = 1e-8
+    Gp = jnp.swapaxes(U, -1, -2) @ G @ jnp.swapaxes(Vt, -1, -2)  # U^T G V
+    ci = c[..., :, None]
+    cj = c[..., None, :]
+    si = s[..., :, None]
+    sj = s[..., None, :]
+    same = ci * cj > 0
+    # same-sign block: Q_ij = c_j (G'_ij - G'_ji) / (s_i + s_j)
+    denom_plus = si + sj + eps
+    Q_same = cj * (Gp - jnp.swapaxes(Gp, -1, -2)) / denom_plus
+    # mixed-sign block: Q_ij = (c_j G'_ij - c_i G'_ji) / (s_j - s_i), clamped
+    diff = sj - si
+    denom_mix = jnp.where(jnp.abs(diff) < eps,
+                          jnp.where(diff < 0, -eps, eps), diff)
+    Q_mix = (cj * Gp - ci * jnp.swapaxes(Gp, -1, -2)) / denom_mix
+    Q = jnp.where(same, Q_same, Q_mix)
+    # zero the diagonal (R has no dependence on the singular values)
+    Q = Q * (1.0 - jnp.eye(3, dtype=Q.dtype))
+    Mbar = U @ Q @ Vt
+    return (Mbar,)
+
+
+procrustes_rotation.defvjp(_procrustes_fwd, _procrustes_bwd)
 
 
 def rigid_points_registration(x, y, weights=None):
@@ -38,15 +97,7 @@ def rigid_points_registration(x, y, weights=None):
         cx = jnp.mean(x, axis=-2, keepdims=True)
         cy = jnp.mean(y, axis=-2, keepdims=True)
         M = jnp.swapaxes(y - cy, -1, -2) @ (x - cx)          # [...,3,3]
-    U, _, Vt = jnp.linalg.svd(M)
-    # det-flip for proper rotations
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.concatenate([
-        jnp.ones_like(det)[..., None],
-        jnp.ones_like(det)[..., None],
-        det[..., None],
-    ], axis=-1)
-    R = (U * D[..., None, :]) @ Vt
+    R = procrustes_rotation(M)
     t = cy[..., 0, :] - (R @ cx[..., 0, :, None])[..., 0]
     return R, t
 

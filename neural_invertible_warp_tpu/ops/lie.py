@@ -25,14 +25,16 @@ def skew_symmetric(w):
     ], axis=-2)
 
 
-def _taylor(x, kind, nth=10):
-    """Taylor series used by the exp maps (reference camera.py:249-272).
+def _taylor_sq(x2, kind, nth=10):
+    """Taylor series in theta^2 (reference camera.py:249-272 evaluates the same
+    series in theta; using theta^2 avoids the sqrt whose gradient is NaN at 0 —
+    jnp.linalg.norm(0) has undefined grad, torch defines the subgradient as 0).
 
-    kind A: sin(x)/x        = sum (-1)^i x^(2i) / (2i+1)!
-    kind B: (1-cos x)/x^2   = sum (-1)^i x^(2i) / (2i+2)!
-    kind C: (x-sin x)/x^3   = sum (-1)^i x^(2i) / (2i+3)!
+    kind A: sin(x)/x        = sum (-1)^i (x^2)^i / (2i+1)!
+    kind B: (1-cos x)/x^2   = sum (-1)^i (x^2)^i / (2i+2)!
+    kind C: (x-sin x)/x^3   = sum (-1)^i (x^2)^i / (2i+3)!
     """
-    ans = jnp.zeros_like(x)
+    ans = jnp.zeros_like(x2)
     denom = 1.0
     for i in range(nth + 1):
         if kind == "A":
@@ -42,8 +44,12 @@ def _taylor(x, kind, nth=10):
             denom *= (2 * i + 1) * (2 * i + 2)
         else:
             denom *= (2 * i + 2) * (2 * i + 3)
-        ans = ans + ((-1) ** i) * x ** (2 * i) / denom
+        ans = ans + ((-1) ** i) * x2 ** i / denom
     return ans
+
+
+def _taylor(x, kind, nth=10):
+    return _taylor_sq(x ** 2, kind, nth)
 
 
 def taylor_A(x, nth=10):
@@ -61,10 +67,10 @@ def taylor_C(x, nth=10):
 def so3_to_SO3(w):
     """Exponential map so(3) -> SO(3). [...,3] -> [...,3,3]."""
     wx = skew_symmetric(w)
-    theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
+    theta2 = jnp.sum(w ** 2, axis=-1)[..., None, None]
     I = jnp.eye(3, dtype=w.dtype)
-    A = taylor_A(theta)
-    B = taylor_B(theta)
+    A = _taylor_sq(theta2, "A")
+    B = _taylor_sq(theta2, "B")
     return I + A * wx + B * (wx @ wx)
 
 
@@ -81,11 +87,11 @@ def se3_to_SE3(wu):
     """Exponential map se(3) -> SE(3). [...,6] -> [...,3,4]."""
     w, u = wu[..., :3], wu[..., 3:]
     wx = skew_symmetric(w)
-    theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
+    theta2 = jnp.sum(w ** 2, axis=-1)[..., None, None]
     I = jnp.eye(3, dtype=wu.dtype)
-    A = taylor_A(theta)
-    B = taylor_B(theta)
-    C = taylor_C(theta)
+    A = _taylor_sq(theta2, "A")
+    B = _taylor_sq(theta2, "B")
+    C = _taylor_sq(theta2, "C")
     R = I + A * wx + B * (wx @ wx)
     V = I + B * wx + C * (wx @ wx)
     t = V @ u[..., None]

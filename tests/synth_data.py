@@ -134,9 +134,11 @@ def analytic_render(pose_w2c, intr, H, W, n_samples=96, depth_range=(2.0, 6.0),
                                   H * W, n_samples, depth_range,
                                   stratified=False)
     pts = center[..., None, :] + ray[..., None, :] * depth       # [B,HW,K,3]
-    r2 = jnp.sum(pts ** 2, axis=-1)
-    sigma = 25.0 * jax.nn.sigmoid(20.0 * (1.0 - r2))              # soft sphere r=1
-    rgb = jnp.clip(0.5 + 0.5 * jnp.tanh(2.0 * pts), 0.0, 1.0)     # position-colored
+    # space-filling textured medium: every ray sees signal everywhere, so the
+    # toy problem has no "cameras escape to empty background" optimum
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    sigma = 1.5 + 1.4 * jnp.sin(2.1 * x) * jnp.sin(1.7 * y) * jnp.sin(1.9 * z)
+    rgb = 0.5 + 0.5 * jnp.sin(4.0 * pts)                          # textured colors
     out_rgb, _, opac, _ = render.composite(ray, rgb, sigma, depth)
     out_rgb = out_rgb + bgcolor * (1 - opac)
     B = pose_w2c.shape[0]
@@ -161,4 +163,28 @@ def make_consistent_blender_scene(root, scene="sphere", n_train=6, n_val=2,
                 np.full((img_size, img_size, 1), 255, np.uint8)], axis=-1)
             imageio.imwrite(
                 os.path.join(root, scene, split, "r_{}.png".format(i)), rgba)
+    return opt
+
+
+def make_consistent_llff_scene(root, scene="toyfern", n_images=6,
+                               img_size=(32, 32), seed=0):
+    """LLFF-format scene whose images are true renders of one 3D scene
+    (rendered from the loader-parsed w2c poses, so everything is consistent
+    with the LLFF world frame after centering/rescale)."""
+    from neural_invertible_warp_tpu.data import llff as llff_data
+
+    make_llff_scene(root, scene=scene, n_images=n_images, img_size=img_size,
+                    seed=seed)
+    H, W = img_size
+    opt = llff_opt(root, H=H, W=W, scene=scene)
+    ds_all = llff_data.Dataset(opt, split="train")
+    # render every image (train + val): rebuild the full list
+    ds_val = llff_data.Dataset(opt, split="val")
+    for ds in (ds_all, ds_val):
+        arrays = ds.all_arrays(opt)
+        imgs = analytic_render(arrays["pose"], arrays["intr"], H, W,
+                               depth_range=(1.0, 6.0))
+        for i in range(len(ds)):
+            fname = os.path.join(root, scene, "images", ds.list[i][0])
+            imageio.imwrite(fname, (imgs[i] * 255).astype(np.uint8))
     return opt

@@ -76,3 +76,21 @@ def test_sixd_rotation_orthonormal():
                                np.tile(np.eye(3), (8, 1, 1)), atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(R), np.ones(8), atol=1e-5)
     np.testing.assert_allclose(Rt[..., 3], w[:, 6:], atol=1e-6)
+
+
+def test_exp_map_gradient_finite_at_zero():
+    """Regression: se(3)=0 (the BARF init) must have finite gradients —
+    a naive norm-based theta gives NaN grad at exactly zero."""
+    import jax
+
+    def loss(wu):
+        return jnp.sum(lie.se3_to_SE3(wu) ** 2)
+
+    g = jax.grad(loss)(jnp.zeros((4, 6)))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    def loss_r(w):
+        return jnp.sum(lie.so3_to_SO3(w) ** 2)
+
+    g = jax.grad(loss_r)(jnp.zeros((4, 3)))
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -1,0 +1,119 @@
+"""End-to-end test for the flagship INN-warp model (barf_inn_llff): joint
+optimization of the radiance field and the invertible per-image ray warp with
+the SVD global-alignment loss on a synthetic LLFF-format scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import synth_data
+from neural_invertible_warp_tpu import config
+from neural_invertible_warp_tpu.models.engine import Trainer
+
+
+def inn_opt(root, out_root, n_iter):
+    opt = config.load_options("options/barf_inn_llff.yaml")
+    overrides = config.parse_arguments([
+        "--model=barf_inn_llff",
+        "--yaml=barf_inn_llff",
+        "--data.root={}".format(root),
+        "--data.scene=toyfern",
+        "--data.image_size=[32,32]",
+        "--data.num_workers=2",
+        "--data.val_ratio=0.25",
+        "--arch.layers_feat=[null,48,48,48,48,48]",
+        "--arch.layers_rgb=[null,24,3]",
+        "--arch.skip=[2]",
+        "--arch.posenc.L_3D=6",
+        "--arch.posenc.L_view=2",
+        "--nerf.sample_intvs=48",
+        "--nerf.rand_rays=512",
+        "--inn.real_nvp.d_hidden=48",
+        "--inn.real_nvp.max_pe_iter=400",
+        "--warp_latent.embed_dim=24",
+        "--loss_weight.global_alignment=3",
+        "--max_iter={}".format(n_iter),
+        "--output_root={}".format(out_root),
+        "--seed=0",
+    ])
+    opt = config.override_options(opt, overrides, key_stack=[], safe_check=True)
+    config.process_options(opt)
+    return opt
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    out_root = str(tmp_path_factory.mktemp("out"))
+    synth_data.make_consistent_llff_scene(root, n_images=8, img_size=(32, 32))
+    opt = inn_opt(root, out_root, n_iter=700)
+    trainer = Trainer(opt)
+    trainer.load_dataset()
+    trainer.build_system()
+    trainer.restore_checkpoint()
+
+    base_key = jax.random.PRNGKey(0)
+    history = []
+    for it in range(opt.max_iter):
+        trainer.state, metrics = trainer.system.train_step(
+            trainer.state, jax.random.fold_in(base_key, it))
+        if it % 100 == 0 or it == opt.max_iter - 1:
+            history.append({k: float(v) for k, v in metrics.items()})
+    trainer.history = history
+    return trainer
+
+
+def test_warp_starts_as_identity(trained):
+    """At init the INN is the identity map, so the first SVD readout must be
+    (numerically) the identity rigid transform."""
+    system, state = trained.system, trained.state
+    params0 = system.init_params(jax.random.PRNGKey(0))
+    pts = jnp.array(np.random.RandomState(0)
+                    .randn(system.n_train, 10, 3).astype(np.float32))
+    warped = system.warp_points(params0, pts, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(pts), atol=1e-6)
+
+
+def test_losses_finite_and_learning(trained):
+    h = trained.history
+    assert all(np.isfinite(m["loss_all"]) for m in h)
+    assert h[-1]["psnr"] > h[0]["psnr"] + 4
+    assert h[-1]["loss_render"] < h[0]["loss_render"]
+
+
+def test_global_alignment_loss_present_and_small(trained):
+    h = trained.history
+    assert "loss_global_alignment" in h[0]
+    # the warp must stay near-rigid (that's what the loss enforces)
+    assert h[-1]["loss_global_alignment"] < 0.05
+
+
+def test_pose_readout_updates(trained):
+    gr = np.asarray(trained.state["aux"]["global_rigid"])
+    assert gr.shape == (6, 3, 4)
+    # readout rotations must be orthonormal (it comes from an SVD)
+    R = gr[..., :3]
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
+                               np.tile(np.eye(3), (6, 1, 1)), atol=1e-4)
+
+
+def test_validation_with_pose_alignment(trained):
+    res = trained.system.validate(trained.state)
+    assert np.isfinite(res["psnr_val"])
+    assert np.isfinite(res["error_R"]) and np.isfinite(res["error_t"])
+
+
+def test_warp_inverse_consistency_after_training(trained):
+    """The trained warp must still be exactly invertible."""
+    from neural_invertible_warp_tpu.ops import inn
+    system, state = trained.system, trained.state
+    feat = system._warp_feat(state["params"])
+    pts = jnp.array(np.random.RandomState(1).randn(feat.shape[0], 20, 3)
+                    .astype(np.float32))
+    alpha = float(system.alpha_ratio(state["step"]))
+    fwd = inn.deform_forward(state["params"]["warp_mlp"], feat, pts, alpha,
+                             multires=system.multires, actfn=system.actfn)
+    back = inn.deform_inverse(state["params"]["warp_mlp"], feat, fwd, alpha,
+                              multires=system.multires, actfn=system.actfn)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=5e-4)
