@@ -30,7 +30,8 @@ N_IMAGES = 18
 H, W = 480, 640
 RAND_RAYS = 2048
 WARMUP_STEPS = 3
-BENCH_STEPS = 20
+BENCH_STEPS = 300
+STEPS_PER_CALL = 50
 
 
 def build():
@@ -80,11 +81,19 @@ def main():
     jax.block_until_ready(metrics["loss_all"])
     print("compiled+warm in {:.1f}s".format(time.time() - t_compile), file=sys.stderr)
 
-    t0 = time.time()
-    for i in range(BENCH_STEPS):
-        state, metrics = system.train_step(
-            state, jax.random.fold_in(key, WARMUP_STEPS + i))
-    jax.block_until_ready(metrics["loss_all"])
+    # scan-batched steps: one dispatch per STEPS_PER_CALL iterations so host
+    # dispatch latency does not pollute the measurement
+    def keys_for(start):
+        return jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            np.arange(start, start + STEPS_PER_CALL))
+
+    state, metrics = system.train_multi_step(state, keys_for(10_000))  # compile
+    float(metrics["loss_all"])  # hard sync — block_until_ready is unreliable
+    t0 = time.time()            # through the remote-execution tunnel
+    for c in range(BENCH_STEPS // STEPS_PER_CALL):
+        state, metrics = system.train_multi_step(
+            state, keys_for(WARMUP_STEPS + c * STEPS_PER_CALL))
+        float(metrics["loss_all"])
     dt = time.time() - t0
 
     steps_per_sec = BENCH_STEPS / dt

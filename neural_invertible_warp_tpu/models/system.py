@@ -232,6 +232,26 @@ class NerfSystem:
             self._train_step_jit = jax.jit(self.make_train_step())
         return self._train_step_jit(state, self.train_data, key)
 
+    def train_multi_step(self, state, keys):
+        """Run len(keys) steps in ONE dispatch (lax.scan over the step body).
+
+        Amortizes host->device dispatch latency — the per-step pytree transfer
+        through the runtime otherwise dominates at this model scale. Returns
+        (state, metrics-of-last-step).
+        """
+        if getattr(self, "_train_scan_jit", None) is None:
+            step_fn = self.make_train_step()
+
+            def scan_fn(state, data, keys):
+                def body(carry, k):
+                    new_state, metrics = step_fn(carry, data, k)
+                    return new_state, metrics
+                state, metrics = jax.lax.scan(body, state, keys)
+                return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+            self._train_scan_jit = jax.jit(scan_fn)
+        return self._train_scan_jit(state, self.train_data, keys)
+
     # ----------------------------------------------------------- eval render
 
     def make_render_image(self):

@@ -26,7 +26,12 @@ def sample_depth(key, batch_size, num_rays, num_samples, depth_range,
     rand = rand + jnp.arange(num_samples, dtype=dtype)[None, None, :, None]
     depth = rand / num_samples * (depth_max - depth_min) + depth_min
     if param == "inverse":
-        depth = 1.0 / (depth + 1e-8)
+        # reference computes 1/(depth+1e-8) (model/nerf.py:342); we floor the
+        # metric depth instead: the stratified sample can round to exactly 0
+        # (u+127 -> 128.0 in fp32) and the TPU's fused fast-reciprocal of such
+        # tiny denominators overflows to inf. A 1e-6 floor caps the sample at
+        # depth 1e6 — "at infinity" either way, with ~zero compositing weight.
+        depth = 1.0 / jnp.maximum(depth, 1e-6)
     elif param != "metric":
         raise ValueError("unknown depth param: {}".format(param))
     return depth
