@@ -38,7 +38,10 @@ class InnWarpSystem(BarfSystem):
         super().__init__(opt)
         self.multires = opt.inn.real_nvp.multires
         self.actfn = opt.inn.get("actfn", "softplus")
-        self.enc_type = opt.warp_latent.enc_type
+        # the DTU variant has no warp_latent section; its latent is a plain
+        # embedding sized by inn.real_nvp.latent_dim (model/pose_models/inn.py:21)
+        wl = opt.get("warp_latent")
+        self.enc_type = wl.enc_type if wl else "l2fbarf"
 
     # ---------------------------------------------------------------- params
 

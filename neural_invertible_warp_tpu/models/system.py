@@ -222,6 +222,9 @@ class NerfSystem:
             metrics = {"loss_" + k: v for k, v in losses.items()}
             metrics["loss_all"] = total
             metrics["psnr"] = -10.0 * jnp.log10(losses["render"])
+            # scalar diagnostics recorded by the model (e.g. DTU depth errors)
+            metrics.update({k: v for k, v in extras.items()
+                            if hasattr(v, "ndim") and v.ndim == 0})
             return dict(params=params, opt_state=opt_state, step=step + 1,
                         aux=aux), metrics
 

@@ -188,3 +188,105 @@ def make_consistent_llff_scene(root, scene="toyfern", n_images=6,
             fname = os.path.join(root, scene, "images", ds.list[i][0])
             imageio.imwrite(fname, (imgs[i] * 255).astype(np.uint8))
     return opt
+
+
+def analytic_render_with_depth(pose_w2c, intr, H, W, n_samples=96,
+                               depth_range=(2.0, 6.0), bgcolor=1.0):
+    """Like analytic_render but also returns the expected depth map [B,H,W]."""
+    import jax.numpy as jnp
+    from neural_invertible_warp_tpu.ops import rays, render, sampling
+    import jax
+
+    pose_w2c = jnp.asarray(pose_w2c)
+    intr = jnp.asarray(intr)
+    center, ray = rays.get_center_and_ray(pose_w2c, intr, H=H, W=W)
+    depth = sampling.sample_depth(jax.random.PRNGKey(0), pose_w2c.shape[0],
+                                  H * W, n_samples, depth_range,
+                                  stratified=False)
+    pts = center[..., None, :] + ray[..., None, :] * depth
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    sigma = 1.5 + 1.4 * jnp.sin(2.1 * x) * jnp.sin(1.7 * y) * jnp.sin(1.9 * z)
+    rgb = 0.5 + 0.5 * jnp.sin(4.0 * pts)
+    out_rgb, out_d, opac, _ = render.composite(ray, rgb, sigma, depth)
+    out_rgb = out_rgb + bgcolor * (1 - opac)
+    B = pose_w2c.shape[0]
+    return (np.asarray(out_rgb).reshape(B, H, W, 3),
+            np.asarray(out_d).reshape(B, H, W))
+
+
+def _write_pfm(fname, data):
+    """Minimal grayscale little-endian PFM writer."""
+    data = np.asarray(data, np.float32)
+    with open(fname, "wb") as f:
+        f.write(b"Pf\n")
+        f.write("{} {} \n".format(data.shape[1], data.shape[0]).encode())
+        f.write(b"-1.0\n")
+        np.flipud(data).astype("<f4").tofile(f)
+
+
+def make_dtu_scene(root, scene="scan1", n_images=12, H=30, W=40, seed=0):
+    """DTU-format scene: cameras.npz with P = K [R|t] and scale_mat (300x),
+    images rendered from an analytic field, PFM GT depth, all-ones masks."""
+    rng = np.random.RandomState(seed)
+    scene_dir = os.path.join(root, "rs_dtu_4", "DTU", scene)
+    img_dir = os.path.join(scene_dir, "image")
+    mask_dir = os.path.join(root, "submission_data", "idrmasks", scene)
+    depth_dir = os.path.join(root, "Depths", scene)
+    for d in (img_dir, mask_dir, depth_dir):
+        os.makedirs(d, exist_ok=True)
+
+    K = np.array([[35.0, 0, W / 2], [0, 35.0, H / 2], [0, 0, 1]], np.float64)
+    trans_offset = np.array([3.0, -2.0, 5.0])
+    cam_npz = {}
+    poses_w2c_final = []
+    for i in range(n_images):
+        th = rng.rand() * 2 * np.pi
+        ph = 0.3 + rng.rand() * 0.4
+        eye = 3.5 * np.array([np.cos(th) * np.cos(ph), np.sin(ph),
+                              np.sin(th) * np.cos(ph)])
+        # desired final c2w (OpenCV convention: camera z towards scene)
+        z = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        x_ax = np.cross(up, z); x_ax /= np.linalg.norm(x_ax)
+        y_ax = np.cross(z, x_ax)
+        R_c2w = np.stack([x_ax, y_ax, z], axis=1)
+        c2w_final = np.concatenate([R_c2w, eye[:, None]], axis=1)
+        # invert the loader's normalization: t_raw = 300*t_final + offset
+        c2w_raw = c2w_final.copy()
+        c2w_raw[:, 3] = 300.0 * c2w_final[:, 3] + trans_offset
+        w2c_raw = np.linalg.inv(np.concatenate([c2w_raw, [[0, 0, 0, 1]]], 0))
+        P = K @ w2c_raw[:3]
+        world_mat = np.concatenate([P, [[0, 0, 0, 1]]], 0)
+        scale_mat = np.diag([300.0, 300.0, 300.0, 1.0])
+        scale_mat[:3, 3] = trans_offset
+        cam_npz["world_mat_{}".format(i)] = world_mat
+        cam_npz["scale_mat_{}".format(i)] = scale_mat
+        w2c_final = np.linalg.inv(np.concatenate([c2w_final, [[0, 0, 0, 1]]], 0))
+        poses_w2c_final.append(w2c_final[:3].astype(np.float32))
+    np.savez(os.path.join(scene_dir, "cameras.npz"), **cam_npz)
+
+    poses = np.stack(poses_w2c_final)
+    intr = np.tile(K.astype(np.float32), (n_images, 1, 1))
+    imgs, depths = analytic_render_with_depth(poses, intr, H, W,
+                                              depth_range=(1.2, 5.2))
+    for i in range(n_images):
+        imageio.imwrite(os.path.join(img_dir, "{:06d}.png".format(i)),
+                        (imgs[i] * 255).astype(np.uint8))
+        imageio.imwrite(os.path.join(mask_dir, "{:03d}.png".format(i)),
+                        np.full((H, W, 3), 255, np.uint8))
+        # reference PFM depths are in the raw world scale; the loader divides
+        # by 300 (data/dtu.py:285-290)
+        _write_pfm(os.path.join(depth_dir, "depth_map_{:04d}.pfm".format(i)),
+                   depths[i] * 300.0)
+    return poses, intr
+
+
+def dtu_opt(root, H=30, W=40, scene="scan1"):
+    from neural_invertible_warp_tpu import config
+    opt = config.load_options("options/nerf_dtu.yaml")
+    opt.H, opt.W = H, W
+    opt.data.root = root
+    opt.data.scene = scene
+    opt.data.image_size = [H, W]
+    opt.data.num_workers = 2
+    return opt
