@@ -64,14 +64,21 @@ class NerfSystem:
 
     # ---------------------------------------------------------------- params
 
+    # field hooks — the GARF family swaps these for the gaussian field
+    def init_field_params(self, key):
+        return nerf_mlp.init_nerf_params(key, self.arch,
+                                         view_dep=self.opt.nerf.view_dep)
+
+    def apply_field_samples(self, field_params, center, ray, depth, **kwargs):
+        return nerf_mlp.apply_nerf_samples(field_params, self.arch, center,
+                                           ray, depth, **kwargs)
+
     def init_params(self, key):
         params = {}
         key, k1, k2 = jax.random.split(key, 3)
-        params["nerf"] = nerf_mlp.init_nerf_params(
-            k1, self.arch, view_dep=self.opt.nerf.view_dep)
+        params["nerf"] = self.init_field_params(k1)
         if self.opt.nerf.fine_sampling:
-            params["nerf_fine"] = nerf_mlp.init_nerf_params(
-                k2, self.arch, view_dep=self.opt.nerf.view_dep)
+            params["nerf_fine"] = self.init_field_params(k2)
         return params
 
     def init_aux(self, key):
@@ -135,8 +142,8 @@ class NerfSystem:
             density_noise_reg=opt.nerf.get("density_noise_reg") if mode == "train" else None,
             noise_key=k_noise,
         )
-        rgb_s, dens = nerf_mlp.apply_nerf_samples(
-            params["nerf"], self.arch, center, ray, depth, **common)
+        rgb_s, dens = self.apply_field_samples(
+            params["nerf"], center, ray, depth, **common)
         rgb, d, opac, prob = render.composite(
             ray, rgb_s, dens, depth,
             setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
@@ -147,8 +154,8 @@ class NerfSystem:
             depth_fine = sampling.sample_depth_from_pdf(
                 pdf, opt.nerf.sample_intvs, opt.nerf.sample_intvs_fine, depth_range)
             depth_all = jnp.sort(jnp.concatenate([depth, depth_fine], axis=2), axis=2)
-            rgb_s, dens = nerf_mlp.apply_nerf_samples(
-                params["nerf_fine"], self.arch, center, ray, depth_all, **common)
+            rgb_s, dens = self.apply_field_samples(
+                params["nerf_fine"], center, ray, depth_all, **common)
             rgb_f, d_f, opac_f, _ = render.composite(
                 ray, rgb_s, dens, depth_all,
                 setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
