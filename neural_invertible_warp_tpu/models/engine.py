@@ -122,6 +122,9 @@ class Trainer:
 
 def run_training(opt):
     """Full lifecycle, mirroring reference train.py:20-29."""
+    if opt.model in ("homography", "planar", "img_relu"):
+        from .planar import run_planar_training
+        return run_planar_training(opt)
     trainer = Trainer(opt)
     trainer.load_dataset()
     trainer.build_system()

@@ -48,6 +48,7 @@ class NerfSystem:
         self.sim3 = None             # set by prealignment (pose models)
         self._train_step_jit = None
         self._render_image_jit = None
+        self._fused_field = None
 
     # ------------------------------------------------------------------ data
 
@@ -69,7 +70,27 @@ class NerfSystem:
         return nerf_mlp.init_nerf_params(key, self.arch,
                                          view_dep=self.opt.nerf.view_dep)
 
+    def _use_fused_field(self):
+        """Fused Pallas kernel: on by default on TPU for the reference arch
+        (fp32 parity verified against the jnp path in tests/test_fused_field)."""
+        if self._fused_field is None:
+            from ..ops.pallas import fused_field
+            enabled = (self.opt.get("tpu") or {}).get("fused_kernel", True)
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+            self._fused_field = bool(
+                enabled and on_tpu and
+                fused_field.supports(self.arch, self.opt.nerf))
+            if self._fused_field:
+                log.info("using fused Pallas field kernel")
+        return self._fused_field
+
     def apply_field_samples(self, field_params, center, ray, depth, **kwargs):
+        if self._use_fused_field():
+            from ..ops.pallas import fused_field
+            kwargs.pop("density_noise_reg", None)
+            kwargs.pop("noise_key", None)
+            return fused_field.fused_apply_nerf_samples(
+                field_params, self.arch, center, ray, depth, **kwargs)
         return nerf_mlp.apply_nerf_samples(field_params, self.arch, center,
                                            ray, depth, **kwargs)
 

@@ -1,0 +1,334 @@
+"""Fused NeRF field evaluation as Pallas TPU kernels.
+
+The XLA path materializes every 256-wide trunk activation in HBM
+(~10 tensors x [N,256] x fp32 per step — the train step is HBM-bound, see
+bench notes). This kernel keeps the whole trunk + heads resident in VMEM per
+ray-block: HBM traffic collapses to the [N,64]/[N,32] encoded inputs and the
+[N,4] (rgb, density) outputs.
+
+Scope: the reference architecture exactly — 8x256 trunk, skip concat at layer
+4, density channel on the last trunk layer (softplus), 128-wide view-dependent
+rgb head (sigmoid). Positional encoding (+BARF c2f mask) happens OUTSIDE the
+kernel in jnp (cheap, autodiffed), so the custom VJP only has to handle the
+dense MLP: the backward kernel recomputes activations per block (VMEM-resident)
+and accumulates weight gradients across the sequential TPU grid into
+constant-mapped output blocks.
+
+Weight layout (padded for the 128-lane MXU; zero-padding is applied by the
+jnp wrapper and grads flow back through the unpad slice):
+    W0  [64, 256]   (63-wide PE input + 1 zero column)
+    W1..W3 [256,256]
+    W4  [320, 256]  (skip concat: [h3(256); Xp(64)])
+    W5, W6 [256,256]
+    W7  [256, 384]  (col 0 = density, cols 1..256 = features, rest zero)
+    Wr0 [288, 128]  ([feat(256); view_enc(32, 27 used)])
+    Wr1 [128, 128]  (cols 0..2 = rgb, rest zero)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 256          # points (rays*samples) per grid step
+N_TRUNK = 8        # trunk layers (reference arch.layers_feat)
+
+# padded dims
+D_IN = 64          # PE(3D) 63 -> 64
+D_HID = 256
+D_SKIP = 320       # 256 + 64
+D_OUT7 = 384       # 257 -> 384
+D_VIEW = 32        # PE(view) 27 -> 32
+D_HEAD_IN = 288    # 256 + 32
+D_HEAD = 128
+
+_WEIGHT_SHAPES = dict(
+    W0=(D_IN, D_HID), W1=(D_HID, D_HID), W2=(D_HID, D_HID), W3=(D_HID, D_HID),
+    W4=(D_SKIP, D_HID), W5=(D_HID, D_HID), W6=(D_HID, D_HID),
+    W7=(D_HID, D_OUT7), Wr0=(D_HEAD_IN, D_HEAD), Wr1=(D_HEAD, D_HEAD),
+)
+_BIAS_SHAPES = dict(
+    b0=(1, D_HID), b1=(1, D_HID), b2=(1, D_HID), b3=(1, D_HID),
+    b4=(1, D_HID), b5=(1, D_HID), b6=(1, D_HID), b7=(1, D_OUT7),
+    br0=(1, D_HEAD), br1=(1, D_HEAD),
+)
+_ORDER = ["W0", "W1", "W2", "W3", "W4", "W5", "W6", "W7", "Wr0", "Wr1",
+          "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "br0", "br1"]
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _forward_block(xp, view, w, keep=False):
+    """Shared forward math on one block. Returns (out, cache-or-None)."""
+    hs = []
+    h = jax.nn.relu(_dot(xp, w["W0"]) + w["b0"])
+    hs.append(h)
+    for i in (1, 2, 3):
+        h = jax.nn.relu(_dot(h, w["W{}".format(i)]) + w["b{}".format(i)])
+        hs.append(h)
+    c4 = jnp.concatenate([h, xp], axis=-1)                    # [BLK, 320]
+    h = jax.nn.relu(_dot(c4, w["W4"]) + w["b4"])
+    hs.append(h)
+    for i in (5, 6):
+        h = jax.nn.relu(_dot(h, w["W{}".format(i)]) + w["b{}".format(i)])
+        hs.append(h)
+    t = _dot(h, w["W7"]) + w["b7"]                            # [BLK, 384]
+    density_pre = t[:, 0]
+    feat = jax.nn.relu(t[:, 1:D_HID + 1])
+    v = jnp.concatenate([feat, view], axis=-1)                # [BLK, 288]
+    r0 = jax.nn.relu(_dot(v, w["Wr0"]) + w["br0"])
+    rgb_pre = _dot(r0, w["Wr1"]) + w["br1"]                   # [BLK, 128]
+    rgb = jax.nn.sigmoid(rgb_pre[:, :3])
+    density = jax.nn.softplus(density_pre)
+    out = jnp.concatenate([rgb, density[:, None]], axis=-1)   # [BLK, 4]
+    cache = (hs, c4, t, feat, v, r0, rgb_pre) if keep else None
+    return out, cache
+
+
+def _fwd_kernel(xp_ref, view_ref, *wrefs):
+    out_ref = wrefs[-1]
+    w = {name: wrefs[i][:] for i, name in enumerate(_ORDER)}
+    out, _ = _forward_block(xp_ref[:], view_ref[:], w)
+    out_ref[:] = out
+
+
+def _bwd_kernel(xp_ref, view_ref, g_ref, *refs):
+    """Recompute forward, backprop; accumulate dW/db across the grid."""
+    w = {name: refs[i][:] for i, name in enumerate(_ORDER)}
+    n_w = len(_ORDER)
+    dxp_ref, dview_ref = refs[n_w], refs[n_w + 1]
+    dw_refs = {name: refs[n_w + 2 + i] for i, name in enumerate(_ORDER)}
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for name in _ORDER:
+            dw_refs[name][:] = jnp.zeros_like(dw_refs[name])
+
+    xp = xp_ref[:]
+    view = view_ref[:]
+    out, cache = _forward_block(xp, view, w, keep=True)
+    hs, c4, t, feat, v, r0, rgb_pre = cache
+    g = g_ref[:]                                              # [BLK, 4]
+    rgb = out[:, :3]
+    density = out[:, 3]
+
+    # heads (pad instead of scatter: Pallas TPU has no scatter lowering)
+    g_rgb_pre = jnp.pad(g[:, :3] * rgb * (1 - rgb),
+                        ((0, 0), (0, D_HEAD - 3)))
+    dw_refs["Wr1"][:] += _dot(r0.T, g_rgb_pre)
+    dw_refs["br1"][:] += jnp.sum(g_rgb_pre, axis=0, keepdims=True)
+    g_r0 = _dot(g_rgb_pre, w["Wr1"].T) * (r0 > 0)
+    dw_refs["Wr0"][:] += _dot(v.T, g_r0)
+    dw_refs["br0"][:] += jnp.sum(g_r0, axis=0, keepdims=True)
+    g_v = _dot(g_r0, w["Wr0"].T)                              # [BLK, 288]
+    g_feat = g_v[:, :D_HID]
+    dview_ref[:] = g_v[:, D_HID:]
+
+    # density head: softplus' = sigmoid(pre)
+    g_density_pre = g[:, 3] * jax.nn.sigmoid(t[:, 0])
+    g_t = jnp.concatenate([
+        g_density_pre[:, None],
+        g_feat * (feat > 0),
+        jnp.zeros((BLK, D_OUT7 - D_HID - 1), jnp.float32),
+    ], axis=-1)
+    dw_refs["W7"][:] += _dot(hs[6].T, g_t)
+    dw_refs["b7"][:] += jnp.sum(g_t, axis=0, keepdims=True)
+    g_h = _dot(g_t, w["W7"].T) * (hs[6] > 0)                  # grad at h6
+
+    for i in (6, 5):
+        dw_refs["W{}".format(i)][:] += _dot(hs[i - 1].T, g_h)
+        dw_refs["b{}".format(i)][:] += jnp.sum(g_h, axis=0, keepdims=True)
+        g_h = _dot(g_h, w["W{}".format(i)].T) * (hs[i - 1] > 0)
+
+    # skip layer: input was c4 = [h3; xp]
+    dw_refs["W4"][:] += _dot(c4.T, g_h)
+    dw_refs["b4"][:] += jnp.sum(g_h, axis=0, keepdims=True)
+    g_c4 = _dot(g_h, w["W4"].T)                               # [BLK, 320]
+    g_xp = g_c4[:, D_HID:]
+    g_h = g_c4[:, :D_HID] * (hs[3] > 0)
+
+    for i in (3, 2, 1):
+        dw_refs["W{}".format(i)][:] += _dot(hs[i - 1].T, g_h)
+        dw_refs["b{}".format(i)][:] += jnp.sum(g_h, axis=0, keepdims=True)
+        g_h = _dot(g_h, w["W{}".format(i)].T) * (hs[i - 1] > 0)
+
+    dw_refs["W0"][:] += _dot(xp.T, g_h)
+    dw_refs["b0"][:] += jnp.sum(g_h, axis=0, keepdims=True)
+    dxp_ref[:] = g_xp + _dot(g_h, w["W0"].T)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                        memory_space=pltpu.VMEM)
+
+
+def _blk_spec(width):
+    return pl.BlockSpec((BLK, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_mlp(xp, view, weights, interpret=False):
+    """Fused field MLP. xp: [N,64] encoded points; view: [N,32] encoded dirs;
+    weights: dict of padded arrays (see module docstring).
+    Returns [N,4] = (rgb sigmoid, density softplus). N must be a BLK multiple."""
+    out, _ = _fused_fwd(xp, view, weights, interpret)
+    return out
+
+
+def _fused_fwd(xp, view, weights, interpret):
+    N = xp.shape[0]
+    assert N % BLK == 0, N
+    grid = (N // BLK,)
+    w_list = [weights[k] for k in _ORDER]
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[_blk_spec(D_IN), _blk_spec(D_VIEW)] +
+                 [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
+                  for k in _ORDER],
+        out_specs=_blk_spec(4),
+        out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
+        interpret=interpret,
+    )(xp, view, *w_list)
+    return out, (xp, view, weights)
+
+
+def _fused_bwd(interpret, res, g):
+    xp, view, weights = res
+    N = xp.shape[0]
+    grid = (N // BLK,)
+    w_list = [weights[k] for k in _ORDER]
+    out_shapes = (
+        [jax.ShapeDtypeStruct((N, D_IN), jnp.float32),
+         jax.ShapeDtypeStruct((N, D_VIEW), jnp.float32)] +
+        [jax.ShapeDtypeStruct(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k],
+                              jnp.float32) for k in _ORDER])
+    out_specs = ([_blk_spec(D_IN), _blk_spec(D_VIEW)] +
+                 [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
+                  for k in _ORDER])
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[_blk_spec(D_IN), _blk_spec(D_VIEW), _blk_spec(4)] +
+                 [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
+                  for k in _ORDER],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xp, view, g, *w_list)
+    dxp, dview = outs[0], outs[1]
+    dw = {k: outs[2 + i] for i, k in enumerate(_ORDER)}
+    return dxp, dview, dw
+
+
+fused_mlp.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# jnp wrapper: pack reference params -> padded kernel weights, PE outside
+# ---------------------------------------------------------------------------
+
+def pack_weights(params):
+    """Reference param pytree (ops.nerf_mlp layout) -> padded kernel weights.
+
+    Differentiable (pure pad/concat), so gradients flow back to the original
+    pytree through this function.
+    """
+    f = params["feat"]
+    r = params["rgb"]
+    def pad(w, rows, cols):
+        return jnp.pad(w, ((0, rows - w.shape[0]), (0, cols - w.shape[1])))
+    def padb(b, cols):
+        return jnp.pad(b, (0, cols - b.shape[0]))[None]
+    out = dict(
+        W0=pad(f[0]["w"], D_IN, D_HID), b0=padb(f[0]["b"], D_HID),
+        W1=pad(f[1]["w"], D_HID, D_HID), b1=padb(f[1]["b"], D_HID),
+        W2=pad(f[2]["w"], D_HID, D_HID), b2=padb(f[2]["b"], D_HID),
+        W3=pad(f[3]["w"], D_HID, D_HID), b3=padb(f[3]["b"], D_HID),
+        W5=pad(f[5]["w"], D_HID, D_HID), b5=padb(f[5]["b"], D_HID),
+        W6=pad(f[6]["w"], D_HID, D_HID), b6=padb(f[6]["b"], D_HID),
+    )
+    # skip layer input order: reference concatenates [feat, points_enc]
+    # with points_enc 63-wide; kernel uses [h3(256); xp(64)]
+    w4 = f[4]["w"]                                   # [256+63, 256]
+    w4_h = w4[:D_HID]
+    w4_x = jnp.pad(w4[D_HID:], ((0, D_IN - (w4.shape[0] - D_HID)), (0, 0)))
+    out["W4"] = jnp.concatenate([w4_h, w4_x], axis=0)
+    out["b4"] = padb(f[4]["b"], D_HID)
+    # last trunk layer: reference column 0 is density, 1.. are features
+    out["W7"] = pad(f[7]["w"], D_HID, D_OUT7)
+    out["b7"] = padb(f[7]["b"], D_OUT7)
+    # rgb head layer 0: [feat(256); view_enc(27->32)]
+    wr0 = r[0]["w"]                                  # [256+27, 128]
+    wr0_f = wr0[:D_HID]
+    wr0_v = jnp.pad(wr0[D_HID:], ((0, D_VIEW - (wr0.shape[0] - D_HID)), (0, 0)))
+    out["Wr0"] = jnp.concatenate([wr0_f, wr0_v], axis=0)
+    out["br0"] = padb(r[0]["b"], D_HEAD)
+    out["Wr1"] = pad(r[1]["w"], D_HEAD, D_HEAD)
+    out["br1"] = padb(r[1]["b"], D_HEAD)
+    return out
+
+
+def fused_apply_nerf_samples(params, arch, center, ray, depth, *,
+                             view_dep=True, density_activ="softplus",
+                             progress=None, barf_c2f=None,
+                             density_noise_reg=None, noise_key=None,
+                             interpret=False):
+    """Drop-in for ops.nerf_mlp.apply_nerf_samples using the fused kernel.
+
+    Requirements (reference default arch): layers_feat 8x256 skip [4],
+    layers_rgb [*,128,3], posenc L_3D=10/L_view=4, view_dep, softplus density.
+    """
+    from .. import posenc as posenc_ops
+    assert density_activ == "softplus" and view_dep
+    B, R = center.shape[0], center.shape[1]
+    K = depth.shape[2]
+    pts = center[..., None, :] + ray[..., None, :] * depth      # [B,R,K,3]
+    ray_unit = ray / jnp.clip(jnp.linalg.norm(ray, axis=-1, keepdims=True),
+                              1e-12, None)
+    ray_unit = jnp.broadcast_to(ray_unit[..., None, :], pts.shape)
+    # encode outside the kernel (autodiffed)
+    enc3d = posenc_ops.positional_encoding_c2f(pts, arch.posenc.L_3D,
+                                               progress, barf_c2f)
+    xp = jnp.concatenate([pts, enc3d], axis=-1).reshape(-1, 63)
+    encv = posenc_ops.positional_encoding_c2f(ray_unit, arch.posenc.L_view,
+                                              progress, barf_c2f)
+    vi = jnp.concatenate([ray_unit, encv], axis=-1).reshape(-1, 27)
+    N = xp.shape[0]
+    N_pad = -(-N // BLK) * BLK
+    xp = jnp.pad(xp, ((0, N_pad - N), (0, D_IN - 63)))
+    vi = jnp.pad(vi, ((0, N_pad - N), (0, D_VIEW - 27)))
+    out = fused_mlp(xp, vi, pack_weights(params), interpret)[:N]
+    rgb = out[:, :3].reshape(B, R, K, 3)
+    density = out[:, 3].reshape(B, R, K)
+    if density_noise_reg and noise_key is not None:
+        # reference adds the noise BEFORE the density activation; matching that
+        # inside the kernel would need the noise as an input — keep the fused
+        # path for noise-free configs and fall back otherwise (system checks).
+        raise NotImplementedError("density_noise_reg with fused kernel")
+    return rgb, density
+
+
+def supports(arch, opt_nerf):
+    """Whether the fused kernel covers this configuration."""
+    try:
+        return (list(arch.layers_feat) == [None] + [256] * 8
+                and list(arch.layers_rgb) == [None, 128, 3]
+                and list(arch.skip) == [4]
+                and arch.posenc and arch.posenc.L_3D == 10
+                and arch.posenc.L_view == 4
+                and arch.get("density_activ", "softplus") == "softplus"
+                and opt_nerf.view_dep
+                and not opt_nerf.get("density_noise_reg"))
+    except Exception:
+        return False

@@ -1,0 +1,39 @@
+"""Visualization utility tests."""
+
+import os
+
+import numpy as np
+
+from neural_invertible_warp_tpu.utils import vis
+
+
+def test_camera_frustums_at_origin():
+    pose = np.tile(np.eye(3, 4, dtype=np.float32), (2, 1, 1))
+    frusta = vis.camera_frustums(pose, depth=0.5)
+    assert len(frusta) == 2
+    np.testing.assert_allclose(frusta[0][0], [0, 0, 0], atol=1e-6)
+    # image-plane corners sit at z = depth for the identity pose
+    np.testing.assert_allclose(frusta[0][1:, 2], 0.5, atol=1e-6)
+
+
+def test_plot_save_poses(tmp_path):
+    rng = np.random.RandomState(0)
+    from neural_invertible_warp_tpu.ops import lie
+    import jax.numpy as jnp
+    pose = np.asarray(lie.se3_to_SE3(jnp.array(rng.randn(5, 6) * 0.3,
+                                               dtype=jnp.float32)))
+    ref = np.asarray(lie.se3_to_SE3(jnp.array(rng.randn(5, 6) * 0.3,
+                                              dtype=jnp.float32)))
+    fname = vis.plot_save_poses(str(tmp_path), pose, ref, ep=100)
+    assert os.path.isfile(fname)
+    assert os.path.getsize(fname) > 1000
+
+
+def test_colorize_depth():
+    depth = np.linspace(1, 5, 12).reshape(3, 4)
+    rgb = vis.colorize_depth(depth)
+    assert rgb.shape == (3, 4, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+    valid = depth > 2
+    rgb2 = vis.colorize_depth(depth, valid=valid)
+    np.testing.assert_allclose(rgb2[~valid], 0)
