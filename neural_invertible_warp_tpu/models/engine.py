@@ -113,6 +113,19 @@ class Trainer:
                                    max_views=self.opt.data.get("val_sub"))
         scalars = {k: v for k, v in res.items() if np.isscalar(v)}
         self.log_scalars(scalars, step, split="val")
+        if self.tb and res.get("vis"):
+            opt = self.opt
+            vis = res["vis"]
+            rgb = np.clip(vis["rgb"].reshape(opt.H, opt.W, 3), 0, 1)
+            self.tb.add_image("val/rgb", rgb, step, dataformats="HWC")
+            from ..ops.render import invdepth_map
+            from ..utils.vis import colorize_depth
+            import jax.numpy as jnp
+            inv = np.asarray(invdepth_map(
+                jnp.asarray(vis["depth"]), jnp.asarray(vis["opacity"]),
+                ndc=bool(opt.camera.ndc))).reshape(opt.H, opt.W)
+            self.tb.add_image("val/invdepth", colorize_depth(inv), step,
+                              dataformats="HWC")
         return res
 
     def save_checkpoint(self, it):
