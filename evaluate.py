@@ -32,6 +32,44 @@ def generate_videos_synthesis(opt):
         log.info("wrote {}".format(out))
 
 
+def generate_novel_view_video(opt, trainer, n_views=60):
+    """Circular novel-view render around the central camera
+    (reference model/nerf_inn_llff.py:241-271)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from neural_invertible_warp_tpu.ops import pose as pose_ops
+    from neural_invertible_warp_tpu.utils.vis import write_video
+    import imageio.v2 as imageio
+
+    system, state = trainer.system, trainer.state
+    pose_pred, pose_GT = system.get_all_training_poses(state)
+    poses = pose_pred if pose_pred is not None else pose_GT
+    scale = 1.0
+    if pose_pred is not None and opt.data.dataset in ("llff", "iphone", "tandt"):
+        system.prealign(state)
+        sim3 = getattr(system, "sim3", None)
+        if sim3 is not None:
+            scale = float(sim3["s1"]) / float(sim3["s0"])
+    centers = poses[..., 3]
+    idx_center = int(np.linalg.norm(
+        centers - centers.mean(0, keepdims=True), axis=-1).argmin())
+    pose_novel = pose_ops.get_novel_view_poses(
+        jnp.asarray(poses[idx_center]), N=n_views, scale=scale)
+    novel_path = os.path.join(opt.output_path, "novel_view")
+    os.makedirs(novel_path, exist_ok=True)
+    intr = system.test_data["intr"][:1]
+    progress = float(state["step"]) / opt.max_iter
+    for i in range(n_views):
+        out = system.render_image(state["params"], state["aux"],
+                                  pose_novel[i:i + 1], intr, progress)
+        rgb = np.clip(np.asarray(out["rgb"]).reshape(opt.H, opt.W, 3), 0, 1)
+        imageio.imwrite(os.path.join(novel_path, "rgb_{}.png".format(i)),
+                        (rgb * 255).astype(np.uint8))
+    write_video(novel_path, "rgb_%d.png",
+                os.path.join(opt.output_path, "novel_view_rgb.mp4"))
+    log.info("novel-view video written")
+
+
 def main():
     opt_cmd = config.parse_arguments(sys.argv[1:])
     if "resume" not in opt_cmd and "load" not in opt_cmd:
@@ -44,6 +82,17 @@ def main():
     results = trainer.system.evaluate_full(trainer.state)
     log.info("evaluation results: {}".format(results))
     generate_videos_synthesis(opt)
+    if opt.data.dataset != "blender" and opt.get("novel_view_video", True):
+        try:
+            generate_novel_view_video(opt, trainer)
+        except Exception as e:
+            log.warn("novel-view video failed: {}".format(e))
+    if hasattr(trainer.system, "evaluate_camera_alignment"):
+        from neural_invertible_warp_tpu.utils.vis import generate_videos_pose
+        try:
+            generate_videos_pose(opt, trainer)
+        except Exception as e:
+            log.warn("pose video failed: {}".format(e))
 
 
 if __name__ == "__main__":

@@ -90,3 +90,31 @@ def pose_distance(pose_a, pose_b):
     R_err = rotation_distance(pose_a[..., :3], pose_b[..., :3])
     t_err = jnp.linalg.norm(pose_a[..., 3] - pose_b[..., 3], axis=-1)
     return R_err, t_err
+
+
+def angle_to_rotation_matrix(a, axis):
+    """Euler rotation around X/Y/Z (reference camera.py:348-357)."""
+    roll = dict(X=1, Y=2, Z=0)[axis]
+    O = jnp.zeros_like(a)
+    I = jnp.ones_like(a)
+    M = jnp.stack([
+        jnp.stack([jnp.cos(a), -jnp.sin(a), O], axis=-1),
+        jnp.stack([jnp.sin(a), jnp.cos(a), O], axis=-1),
+        jnp.stack([O, O, I], axis=-1),
+    ], axis=-2)
+    return jnp.roll(M, (roll, roll), axis=(-2, -1))
+
+
+def get_novel_view_poses(pose_anchor, N=60, scale=1.0):
+    """Circular novel-view trajectory around an anchor camera
+    (reference camera.py:568-578)."""
+    theta = jnp.arange(N) / N * 2 * jnp.pi
+    R_x = angle_to_rotation_matrix(jnp.arcsin(jnp.sin(theta) * 0.05), "X")
+    R_y = angle_to_rotation_matrix(jnp.arcsin(jnp.cos(theta) * 0.05), "Y")
+    pose_rot = make_pose(R=R_y @ R_x)
+    pose_shift = make_pose(t=jnp.array([0.0, 0.0, -4.0 * scale]))
+    pose_shift2 = make_pose(t=jnp.array([0.0, 0.0, 3.8 * scale]))
+    pose_oscil = compose([jnp.broadcast_to(pose_shift, pose_rot.shape),
+                          pose_rot,
+                          jnp.broadcast_to(pose_shift2, pose_rot.shape)])
+    return compose([pose_oscil, jnp.broadcast_to(pose_anchor, pose_rot.shape)])

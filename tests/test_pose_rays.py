@@ -124,3 +124,17 @@ def test_convert_ndc_center_on_near_plane():
     assert np.all(np.isfinite(np.asarray(c_ndc)))
     # reference convention: z_ndc = 1 - 2*near/cz with cz at near plane -> -1
     np.testing.assert_allclose(np.asarray(c_ndc)[..., 2], -1.0, atol=1e-5)
+
+
+def test_novel_view_poses_orbit():
+    anchor = _random_poses(1)[0]
+    novel = pose.get_novel_view_poses(anchor, N=12, scale=1.0)
+    assert novel.shape == (12, 3, 4)
+    R = np.asarray(novel)[..., :3]
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
+                               np.tile(np.eye(3), (12, 1, 1)), atol=1e-5)
+    # all novel cameras stay near the anchor camera's center
+    c_anchor = -np.asarray(anchor)[..., :3].T @ np.asarray(anchor)[..., 3]
+    centers = np.stack([-r.T @ t for r, t in
+                        zip(R, np.asarray(novel)[..., 3])])
+    assert np.linalg.norm(centers - c_anchor, axis=-1).max() < 1.0
