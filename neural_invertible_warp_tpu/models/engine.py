@@ -80,16 +80,32 @@ class Trainer:
         t_start = time.time()
         max_iter = opt.max_iter
         early = opt.freq.get("early_termination") or max_iter
-        for it in range(self.iter_start, min(max_iter, early)):
-            key = jax.random.fold_in(base_key, it)
-            self.state, metrics = self.system.train_step(self.state, key)
-            it1 = it + 1
-            if it1 % opt.freq.scalar == 0:
-                self.log_scalars(metrics, it1)
-            if it1 % opt.freq.val == 0:
-                self.run_validation(it1)
-            if it1 % opt.freq.ckpt == 0:
-                self.save_checkpoint(it1)
+        end = min(max_iter, early)
+        # scan-batch iterations between logging/val/ckpt boundaries: one device
+        # dispatch per chunk instead of per step (host dispatch dominates at
+        # this model scale)
+        spc = max(1, int((opt.get("tpu") or {}).get("steps_per_call") or 1))
+        freqs = [opt.freq.scalar, opt.freq.val, opt.freq.ckpt]
+        it = self.iter_start
+        while it < end:
+            next_event = min([((it // f) + 1) * f for f in freqs] + [end])
+            n = next_event - it
+            if spc > 1 and n >= spc and hasattr(self.system, "train_multi_step"):
+                keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                    np.arange(it, it + spc))
+                self.state, metrics = self.system.train_multi_step(self.state,
+                                                                   keys)
+                it += spc
+            else:
+                key = jax.random.fold_in(base_key, it)
+                self.state, metrics = self.system.train_step(self.state, key)
+                it += 1
+            if it % opt.freq.scalar == 0:
+                self.log_scalars(metrics, it)
+            if it % opt.freq.val == 0:
+                self.run_validation(it)
+            if it % opt.freq.ckpt == 0:
+                self.save_checkpoint(it)
         elapsed = time.time() - t_start
         n_steps = min(max_iter, early) - self.iter_start
         if n_steps > 0:
