@@ -240,3 +240,42 @@ class InnDTUSystem(DTUMixin, PoseInitMixin, DTUAlignmentMixin, InnWarpSystem):
         pose = pose_ops.compose([state["aux"]["global_rigid"],
                                  state["aux"]["initial_poses_w2c"]])
         return np.asarray(pose), np.asarray(self.train_data["pose"])
+
+
+def _dtu_evaluate_full(self, state, output_path=None, dump_images=True,
+                       test_optim=None):
+    """DTU evaluation: adds masked PSNR and sim3-scaled depth errors to the
+    base metrics (reference model/nerf_dtu.py:202-300)."""
+    results = super(DTUMixin, self).evaluate_full(
+        state, output_path=output_path, dump_images=dump_images,
+        test_optim=test_optim)
+    data = self.test_data
+    n = int(data["image"].shape[0])
+    scale = self.depth_scaling_factor()
+    progress = float(state["step"]) / self.opt.max_iter
+    depth_abs, depth_rms, psnr_masked = [], [], []
+    for i in range(n):
+        pose = self.get_eval_pose(state["params"], state["aux"],
+                                  data["pose"][i:i + 1])
+        out = self.render_image(state["params"], state["aux"], pose,
+                                data["intr"][i:i + 1], progress)
+        dkey = "depth_fine" if "depth_fine" in out else "depth"
+        pred_depth = jnp.asarray(out[dkey]).reshape(-1)
+        a, r = metrics_ops.depth_error_full(
+            pred_depth, data["depth_gt"][i], data["valid_depth_gt"][i],
+            scaling_factor=scale)
+        depth_abs.append(float(a))
+        depth_rms.append(float(r))
+        rkey = "rgb_fine" if "rgb_fine" in out else "rgb"
+        pred = jnp.asarray(out[rkey]).reshape(self.H, self.W, 3)
+        psnr_masked.append(float(metrics_ops.masked_psnr(
+            pred, data["image"][i], data["fg_mask"][i] > 0.5)))
+    results["depth_abs"] = float(np.mean(depth_abs))
+    results["depth_rms"] = float(np.mean(depth_rms))
+    results["PSNR_masked"] = float(np.mean(psnr_masked))
+    log.info("DTU depth abs {:.4f} | rms {:.4f} | masked PSNR {:.2f}".format(
+        results["depth_abs"], results["depth_rms"], results["PSNR_masked"]))
+    return results
+
+
+DTUMixin.evaluate_full = _dtu_evaluate_full

@@ -76,6 +76,14 @@ class Trainer:
     def train(self):
         opt = self.opt
         log.title("TRAINING START")
+        debug_cfg = opt.get("debug") or {}
+        if debug_cfg.get("nan_check"):
+            # SURVEY.md §5.2: the reference papers over NaNs with retry loops;
+            # here a flag turns on jax's NaN debugger instead
+            jax.config.update("jax_debug_nans", True)
+        profile_dir = (opt.get("tpu") or {}).get("profile_dir")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         base_key = jax.random.PRNGKey(opt.seed or 0)
         t_start = time.time()
         max_iter = opt.max_iter
@@ -112,6 +120,9 @@ class Trainer:
             log.info("trained {} iters in {:.1f}s ({:.2f} it/s)".format(
                 n_steps, elapsed, n_steps / max(elapsed, 1e-9)))
         self.save_checkpoint(min(max_iter, early))
+        if profile_dir:
+            jax.profiler.stop_trace()
+            log.info("profiler trace written to {}".format(profile_dir))
         if self.tb:
             self.tb.flush()
         log.title("TRAINING DONE")

@@ -182,11 +182,27 @@ class InnWarpSystem(BarfSystem):
 
     # ------------------------------------------------------------- train fwd
 
+    def _l2g_depth_range(self, aux):
+        """Q4 (SURVEY.md §2.3): the blender l2g variant rescales the depth
+        range every step from the current pose-readout camera spread
+        (reference model/nerf_inn_llff.py:494-502) — here it is a traced value
+        instead of an ``opt`` mutation."""
+        opt = self.opt
+        depth_min, depth_max = opt.nerf.depth.range
+        position = pose_ops.invert_pose(aux["global_rigid"])[..., 3]   # [B,3]
+        diameter = jnp.max(jnp.linalg.norm(
+            position[:, None, :] - position[None, :, :], axis=-1))
+        total = depth_max + depth_min
+        return (depth_min / total * diameter, depth_max / total * diameter)
+
     def _forward_train(self, params, aux, data, ray_idx, key, step):
         opt = self.opt
         pose_init = None
+        depth_range = None
         if opt.data.dataset == "blender":
             pose_init = self._initial_pose_all(aux)
+            if opt.camera.get("noise_type") == "l2g":
+                depth_range = self._l2g_depth_range(aux)
         center_cam, grid_cam = rays.get_unwarped_center_and_ray(
             data["intr"], H=self.H, W=self.W, ray_idx=ray_idx,
             pose_init=pose_init)
@@ -202,7 +218,8 @@ class InnWarpSystem(BarfSystem):
         ray = grid_w - center_w
         progress = step.astype(jnp.float32) / opt.max_iter
         out = self.render_rays(params, center_w, ray, key, mode="train",
-                               progress=progress, intr=data["intr"])
+                               progress=progress, intr=data["intr"],
+                               depth_range=depth_range)
         target = data["pixels"][:, ray_idx]
         extras = dict(grid_cam=grid_cam, center_cam=center_cam,
                       grid_w=grid_w, center_w=center_w)

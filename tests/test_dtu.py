@@ -180,3 +180,12 @@ def test_dtu_training_smoke(dtu_root, model, tmp_path):
     out = system.render_image(state["params"], state["aux"], pose,
                               system.test_data["intr"][:1])
     assert np.all(np.isfinite(np.asarray(out["rgb"])))
+    # full DTU evaluation: masked PSNR + sim3-scaled depth errors + dumps
+    results = system.evaluate_full(state, output_path=str(tmp_path),
+                                   test_optim=False)
+    assert np.isfinite(results["PSNR"]) and np.isfinite(results["SSIM"])
+    assert np.isfinite(results["depth_abs"]) and np.isfinite(results["depth_rms"])
+    assert np.isfinite(results["PSNR_masked"])
+    import os
+    assert os.path.isfile(os.path.join(str(tmp_path), "quant.txt"))
+    assert os.path.isfile(os.path.join(str(tmp_path), "quant_pose.txt"))

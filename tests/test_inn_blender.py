@@ -58,3 +58,34 @@ def test_inn_blender_noise_smoke(tmp_path):
     # pose error evaluation runs end-to-end
     R_err, t_err = system.evaluate_camera_alignment(state)
     assert np.all(np.isfinite(R_err)) and np.all(np.isfinite(t_err))
+
+
+def test_l2g_depth_range_scales_with_camera_spread(tmp_path):
+    """Q4: the l2g variant derives the depth range from the pose-readout
+    camera spread (reference model/nerf_inn_llff.py:494-502)."""
+    import jax.numpy as jnp
+    from neural_invertible_warp_tpu.dotdict import DotDict
+    from neural_invertible_warp_tpu.models.inn_warp import InnWarpSystem
+    from neural_invertible_warp_tpu.ops import pose as pose_ops
+
+    opt = config.load_options("options/barf_blender_inn.yaml")
+    opt.model = "barf_inn_blender"
+    opt.H, opt.W = 8, 8
+    opt.data.image_size = [8, 8]
+    system = InnWarpSystem(opt)
+    system.n_train = 4
+    # cameras at distance d from origin -> diameter ~ 2d
+    d = 3.0
+    centers = np.array([[d, 0, 0], [-d, 0, 0], [0, d, 0], [0, -d, 0]],
+                       np.float32)
+    poses = np.stack([np.concatenate([np.eye(3, dtype=np.float32),
+                                      -c[:, None]], 1) for c in centers])
+    aux = dict(global_rigid=jnp.asarray(poses))
+    dmin, dmax = system._l2g_depth_range(aux)
+    depth_min, depth_max = opt.nerf.depth.range
+    total = depth_max + depth_min
+    diameter = 2 * d
+    np.testing.assert_allclose(float(dmin), depth_min / total * diameter,
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(dmax), depth_max / total * diameter,
+                               rtol=1e-5)
