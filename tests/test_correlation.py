@@ -39,3 +39,14 @@ def test_local_correlation_shapes():
     assert out.shape == (1, 81, 10, 12)
     # zero displacement channel of identical maps = mean of squares = 1
     np.testing.assert_allclose(np.asarray(out[0, 40]), 1.0, atol=1e-6)
+
+
+def test_pallas_correlation_matches_xla():
+    from neural_invertible_warp_tpu.ops.pallas.correlation_kernel import (
+        local_correlation_pallas)
+    rng = np.random.RandomState(1)
+    f1 = jnp.array(rng.randn(2, 8, 8, 16).astype(np.float32))
+    f2 = jnp.array(rng.randn(2, 8, 8, 16).astype(np.float32))
+    ref = local_correlation(f1, f2, max_displacement=2)
+    out = local_correlation_pallas(f1, f2, max_displacement=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

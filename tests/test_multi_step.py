@@ -1,0 +1,59 @@
+"""Scan-batched training must be step-for-step identical to single-step
+training (same fold_in key sequence, same updates)."""
+
+import numpy as np
+import jax
+import pytest
+
+from neural_invertible_warp_tpu import config
+from neural_invertible_warp_tpu.models import get_system_class
+
+
+def _tiny_system():
+    opt = config.load_options("options/nerf_blender.yaml")
+    over = config.parse_arguments([
+        "--model=nerf", "--yaml=nerf_blender",
+        "--data.image_size=[12,12]",
+        "--arch.layers_feat=[null,24,24,24]",
+        "--arch.layers_rgb=[null,12,3]",
+        "--arch.skip=[1]",
+        "--arch.posenc.L_3D=3", "--arch.posenc.L_view=2",
+        "--nerf.sample_intvs=8",
+        "--nerf.rand_rays=72",
+        "--max_iter=100",
+    ])
+    opt = config.override_options(opt, over, key_stack=[], safe_check=True)
+    opt.H, opt.W = 12, 12
+    system = get_system_class("nerf")(opt)
+    rng = np.random.RandomState(0)
+    arrays = dict(
+        image=rng.rand(3, 12, 12, 3).astype(np.float32),
+        intr=np.tile(np.array([[8.0, 0, 6], [0, 8.0, 6], [0, 0, 1]],
+                              np.float32), (3, 1, 1)),
+        pose=np.tile(np.eye(3, 4, dtype=np.float32), (3, 1, 1)),
+        idx=np.arange(3, dtype=np.int32))
+    system.attach_data(arrays, arrays)
+    return system
+
+
+def test_multi_step_matches_single_steps():
+    base_key = jax.random.PRNGKey(0)
+    n = 12
+
+    sys1 = _tiny_system()
+    state1 = sys1.init_state(jax.random.PRNGKey(0))
+    for it in range(n):
+        state1, m1 = sys1.train_step(state1, jax.random.fold_in(base_key, it))
+
+    sys2 = _tiny_system()
+    state2 = sys2.init_state(jax.random.PRNGKey(0))
+    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(np.arange(n))
+    state2, m2 = sys2.train_multi_step(state2, keys)
+
+    np.testing.assert_allclose(float(m1["loss_all"]), float(m2["loss_all"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state1["params"]),
+                    jax.tree_util.tree_leaves(state2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    assert int(state2["step"]) == n
