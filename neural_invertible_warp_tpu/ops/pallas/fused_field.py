@@ -65,6 +65,18 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _dot_tn(a, b):
+    """a^T @ b without materializing the transpose (MXU contraction dims)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """a @ b^T without materializing the transpose."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _forward_block(xp, view, w, keep=False):
     """Shared forward math on one block. Returns (out, cache-or-None)."""
     hs = []
@@ -124,12 +136,12 @@ def _bwd_kernel(xp_ref, view_ref, g_ref, *refs):
     # heads (pad instead of scatter: Pallas TPU has no scatter lowering)
     g_rgb_pre = jnp.pad(g[:, :3] * rgb * (1 - rgb),
                         ((0, 0), (0, D_HEAD - 3)))
-    dw_refs["Wr1"][:] += _dot(r0.T, g_rgb_pre)
+    dw_refs["Wr1"][:] += _dot_tn(r0, g_rgb_pre)
     dw_refs["br1"][:] += jnp.sum(g_rgb_pre, axis=0, keepdims=True)
-    g_r0 = _dot(g_rgb_pre, w["Wr1"].T) * (r0 > 0)
-    dw_refs["Wr0"][:] += _dot(v.T, g_r0)
+    g_r0 = _dot_nt(g_rgb_pre, w["Wr1"]) * (r0 > 0)
+    dw_refs["Wr0"][:] += _dot_tn(v, g_r0)
     dw_refs["br0"][:] += jnp.sum(g_r0, axis=0, keepdims=True)
-    g_v = _dot(g_r0, w["Wr0"].T)                              # [BLK, 288]
+    g_v = _dot_nt(g_r0, w["Wr0"])                              # [BLK, 288]
     g_feat = g_v[:, :D_HID]
     dview_ref[:] = g_v[:, D_HID:]
 
@@ -140,30 +152,30 @@ def _bwd_kernel(xp_ref, view_ref, g_ref, *refs):
         g_feat * (feat > 0),
         jnp.zeros((BLK, D_OUT7 - D_HID - 1), jnp.float32),
     ], axis=-1)
-    dw_refs["W7"][:] += _dot(hs[6].T, g_t)
+    dw_refs["W7"][:] += _dot_tn(hs[6], g_t)
     dw_refs["b7"][:] += jnp.sum(g_t, axis=0, keepdims=True)
-    g_h = _dot(g_t, w["W7"].T) * (hs[6] > 0)                  # grad at h6
+    g_h = _dot_nt(g_t, w["W7"]) * (hs[6] > 0)                  # grad at h6
 
     for i in (6, 5):
-        dw_refs["W{}".format(i)][:] += _dot(hs[i - 1].T, g_h)
+        dw_refs["W{}".format(i)][:] += _dot_tn(hs[i - 1], g_h)
         dw_refs["b{}".format(i)][:] += jnp.sum(g_h, axis=0, keepdims=True)
-        g_h = _dot(g_h, w["W{}".format(i)].T) * (hs[i - 1] > 0)
+        g_h = _dot_nt(g_h, w["W{}".format(i)]) * (hs[i - 1] > 0)
 
     # skip layer: input was c4 = [h3; xp]
-    dw_refs["W4"][:] += _dot(c4.T, g_h)
+    dw_refs["W4"][:] += _dot_tn(c4, g_h)
     dw_refs["b4"][:] += jnp.sum(g_h, axis=0, keepdims=True)
-    g_c4 = _dot(g_h, w["W4"].T)                               # [BLK, 320]
+    g_c4 = _dot_nt(g_h, w["W4"])                               # [BLK, 320]
     g_xp = g_c4[:, D_HID:]
     g_h = g_c4[:, :D_HID] * (hs[3] > 0)
 
     for i in (3, 2, 1):
-        dw_refs["W{}".format(i)][:] += _dot(hs[i - 1].T, g_h)
+        dw_refs["W{}".format(i)][:] += _dot_tn(hs[i - 1], g_h)
         dw_refs["b{}".format(i)][:] += jnp.sum(g_h, axis=0, keepdims=True)
-        g_h = _dot(g_h, w["W{}".format(i)].T) * (hs[i - 1] > 0)
+        g_h = _dot_nt(g_h, w["W{}".format(i)]) * (hs[i - 1] > 0)
 
-    dw_refs["W0"][:] += _dot(xp.T, g_h)
+    dw_refs["W0"][:] += _dot_tn(xp, g_h)
     dw_refs["b0"][:] += jnp.sum(g_h, axis=0, keepdims=True)
-    dxp_ref[:] = g_xp + _dot(g_h, w["W0"].T)
+    dxp_ref[:] = g_xp + _dot_nt(g_h, w["W0"])
 
 
 def _full_spec(shape):
