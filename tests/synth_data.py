@@ -121,8 +121,17 @@ def llff_opt(root, H=24, W=32, scene="toyfern"):
 # ---------------------------------------------------------------------------
 
 def analytic_render(pose_w2c, intr, H, W, n_samples=96, depth_range=(2.0, 6.0),
-                    bgcolor=1.0):
-    """Render an analytic soft-sphere scene from w2c poses. Returns [B,H,W,3]."""
+                    bgcolor=1.0, scene_kind="fog"):
+    """Render an analytic scene from w2c poses. Returns [B,H,W,3].
+
+    scene_kind:
+      "fog"          — space-filling textured medium (good for reconstruction
+                       tests; degenerate for pose recovery: cameras can carve
+                       disjoint regions);
+      "sphere_shell" — textured ball at the origin inside a textured enclosing
+                       shell (bounded content, no empty escape region — the
+                       right testbed for pose optimization).
+    """
     import jax.numpy as jnp
     from neural_invertible_warp_tpu.ops import rays, render, sampling
     import jax
@@ -134,10 +143,15 @@ def analytic_render(pose_w2c, intr, H, W, n_samples=96, depth_range=(2.0, 6.0),
                                   H * W, n_samples, depth_range,
                                   stratified=False)
     pts = center[..., None, :] + ray[..., None, :] * depth       # [B,HW,K,3]
-    # space-filling textured medium: every ray sees signal everywhere, so the
-    # toy problem has no "cameras escape to empty background" optimum
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
-    sigma = 1.5 + 1.4 * jnp.sin(2.1 * x) * jnp.sin(1.7 * y) * jnp.sin(1.9 * z)
+    if scene_kind == "fog":
+        # space-filling textured medium: every ray sees signal everywhere, so
+        # the toy problem has no "cameras escape to empty background" optimum
+        sigma = 1.5 + 1.4 * jnp.sin(2.1 * x) * jnp.sin(1.7 * y) * jnp.sin(1.9 * z)
+    else:
+        r = jnp.sqrt(jnp.sum(pts ** 2, axis=-1))
+        sigma = (25.0 * jax.nn.sigmoid(20.0 * (1.0 - r ** 2)) +
+                 25.0 * jax.nn.sigmoid(6.0 * (0.5 - (r - 5.5) ** 2)))
     rgb = 0.5 + 0.5 * jnp.sin(4.0 * pts)                          # textured colors
     out_rgb, _, opac, _ = render.composite(ray, rgb, sigma, depth)
     out_rgb = out_rgb + bgcolor * (1 - opac)
@@ -146,7 +160,8 @@ def analytic_render(pose_w2c, intr, H, W, n_samples=96, depth_range=(2.0, 6.0),
 
 
 def make_consistent_blender_scene(root, scene="sphere", n_train=6, n_val=2,
-                                  n_test=2, img_size=40, seed=0):
+                                  n_test=2, img_size=40, seed=0,
+                                  scene_kind="fog", depth_range=(2.0, 6.0)):
     """Blender-format scene whose images are true renders of one 3D scene."""
     from neural_invertible_warp_tpu.data import blender as blender_data
 
@@ -156,7 +171,9 @@ def make_consistent_blender_scene(root, scene="sphere", n_train=6, n_val=2,
     for split in ("train", "val", "test"):
         ds = blender_data.Dataset(opt, split=split)
         arrays = ds.all_arrays(opt)
-        imgs = analytic_render(arrays["pose"], arrays["intr"], img_size, img_size)
+        imgs = analytic_render(arrays["pose"], arrays["intr"], img_size,
+                               img_size, scene_kind=scene_kind,
+                               depth_range=depth_range)
         for i in range(len(ds)):
             rgba = np.concatenate([
                 (imgs[i] * 255).astype(np.uint8),

@@ -122,10 +122,11 @@ def run_blender_noisy(iters=10000, size=160, out="EVIDENCE_r1_blender.md"):
     from neural_invertible_warp_tpu import config
     from neural_invertible_warp_tpu.models.engine import Trainer
 
-    root = "/tmp/flagship_blender"
+    root = "/tmp/flagship_blender_shell"
     if not os.path.isdir(os.path.join(root, "sphere")):
-        synth_data.make_consistent_blender_scene(root, n_train=12, n_val=2,
-                                                 n_test=2, img_size=size)
+        synth_data.make_consistent_blender_scene(
+            root, n_train=12, n_val=2, n_test=2, img_size=size,
+            scene_kind="sphere_shell", depth_range=(2.0, 10.0))
     opt = config.load_options("options/barf_blender_inn.yaml")
     over = config.parse_arguments([
         "--model=barf_inn_blender", "--yaml=barf_blender_inn",
@@ -135,6 +136,7 @@ def run_blender_noisy(iters=10000, size=160, out="EVIDENCE_r1_blender.md"):
         "--barf_c2f=[0.1,0.5]",
         "--camera.noise_type=barf",
         "--camera.noise_barf=0.08",
+        "--nerf.depth.range=[2,10]",
         "--inn.real_nvp.max_pe_iter={}".format(iters // 2),
         "--loss_weight.global_alignment=3",
         "--nerf.rand_rays=2048",
