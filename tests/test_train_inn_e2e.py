@@ -117,3 +117,88 @@ def test_warp_inverse_consistency_after_training(trained):
     back = inn.deform_inverse(state["params"]["warp_mlp"], feat, fwd, alpha,
                               multires=system.multires, actfn=system.actfn)
     np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=5e-4)
+
+
+def test_inn_pose_recovery_with_frozen_field(tmp_path_factory):
+    """The INN warp must recover noisy poses against a frozen field trained at
+    GT poses — validates the whole warp->render->grad chain for pose work.
+    (Joint from-scratch recovery on toy scenes is degenerate: the alignment
+    loss enforces per-image rigidity only, so cameras can escape into unused
+    regions of the field; see EVIDENCE_r1*.md.)"""
+    import optax
+    import synth_data
+    from neural_invertible_warp_tpu.models.engine import Trainer
+    from neural_invertible_warp_tpu.models.inn_warp import InnWarpSystem
+
+    root = str(tmp_path_factory.mktemp("scene"))
+    synth_data.make_consistent_blender_scene(
+        root, n_train=6, n_val=1, n_test=1, img_size=32,
+        scene_kind="sphere_shell", depth_range=(2.0, 8.0))
+
+    def base_flags(model, yaml, n_iter):
+        return [
+            "--model={}".format(model), "--yaml={}".format(yaml),
+            "--data.root={}".format(root), "--data.scene=sphere",
+            "--data.image_size=[32,32]", "--data.num_workers=2",
+            "--arch.layers_feat=[null,48,48,48,48]",
+            "--arch.layers_rgb=[null,24,3]", "--arch.skip=[2]",
+            "--arch.posenc.L_3D=6", "--arch.posenc.L_view=2",
+            "--nerf.depth.range=[2,8]",
+            "--nerf.sample_intvs=48", "--nerf.rand_rays=768",
+            "--max_iter={}".format(n_iter),
+        ]
+
+    # 1) field at GT poses
+    opt1 = config.load_options("options/nerf_blender.yaml")
+    over = config.parse_arguments(base_flags("nerf", "nerf_blender", 600))
+    opt1 = config.override_options(opt1, over, key_stack=[], safe_check=True)
+    opt1.H, opt1.W = 32, 32
+    from neural_invertible_warp_tpu.models import get_system_class
+    from neural_invertible_warp_tpu.data import blender
+    base_sys = get_system_class("nerf")(opt1)
+    ds_train = blender.Dataset(opt1, split="train")
+    ds_val = blender.Dataset(opt1, split="val")
+    base_sys.attach_data(ds_train.all_arrays(opt1), ds_val.all_arrays(opt1))
+    base_state = base_sys.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(0)
+    for it in range(600):
+        base_state, _ = base_sys.train_step(base_state,
+                                            jax.random.fold_in(key, it))
+
+    # 2) INN warp with the field frozen, noisy init
+    opt2 = config.load_options("options/barf_blender_inn.yaml")
+    over = config.parse_arguments(
+        base_flags("barf_inn_blender", "barf_blender_inn", 700) + [
+            "--camera.noise_type=barf", "--camera.noise_barf=0.06",
+            "--inn.real_nvp.d_hidden=48", "--inn.real_nvp.max_pe_iter=300",
+            "--warp_latent.embed_dim=24",
+            "--loss_weight.global_alignment=3",
+            "--optim.lr_pose=3.e-3", "--optim.lr_pose_end=3.e-3",
+        ])
+    opt2 = config.override_options(opt2, over, key_stack=[], safe_check=True)
+    opt2.H, opt2.W = 32, 32
+
+    class FrozenFieldInn(InnWarpSystem):
+        def make_optimizers(self):
+            txs = super().make_optimizers()
+            txs["main"] = optax.set_to_zero()
+            return txs
+
+    system = FrozenFieldInn(opt2)
+    system.attach_data(ds_train.all_arrays(opt2), ds_val.all_arrays(opt2))
+    state = system.init_state(jax.random.PRNGKey(0))
+    state["params"]["nerf"] = base_state["params"]["nerf"]
+
+    # error of the noisy initial poses themselves (warp starts as identity,
+    # so after one step the readout equals the init pose error)
+    key = jax.random.PRNGKey(1)
+    state, _ = system.train_step(state, jax.random.fold_in(key, 0))
+    R0, _ = system.evaluate_camera_alignment(state)
+    err0 = float(np.mean(R0))
+    for it in range(1, opt2.max_iter):
+        state, metrics = system.train_step(state, jax.random.fold_in(key, it))
+    R1, _ = system.evaluate_camera_alignment(state)
+    err1 = float(np.mean(R1))
+    assert np.isfinite(float(metrics["loss_all"]))
+    assert err0 > 0.02, err0
+    assert err1 < 0.6 * err0, "rotation error {} -> {}".format(err0, err1)
