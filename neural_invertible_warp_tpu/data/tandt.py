@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import PIL.Image
 import imageio.v2 as imageio
 
 from . import base

@@ -12,14 +12,13 @@ Subclasses override the pose providers and loss set; the render core is shared.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops import align, nerf_mlp, posenc, rays, render, sampling
+from ..ops import align, nerf_mlp, rays, render, sampling
 from ..ops import pose as pose_ops
 from ..parallel import mesh as mesh_lib
 from ..utils import log
