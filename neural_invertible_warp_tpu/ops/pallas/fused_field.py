@@ -35,8 +35,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 256          # points (rays*samples) per grid step
+BLK = 256          # points (rays*samples) per grid step (backward kernel)
+FWD_BLK = 256      # measured best on v5e (larger blocks hurt DMA overlap)
 N_TRUNK = 8        # trunk layers (reference arch.layers_feat)
+
+# MXU operand dtype for the kernel matmuls (accumulation is always f32).
+# "bfloat16" matches the effective precision of the reference on A100, where
+# torch runs fp32 matmuls as TF32 (10-bit mantissa) by default; float32 is the
+# bit-exact-parity mode. Set via set_compute_dtype() before first compile.
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(dtype):
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = jnp.dtype(dtype)
 
 # padded dims
 D_IN = 64          # PE(3D) 63 -> 64
@@ -62,18 +74,24 @@ _ORDER = ["W0", "W1", "W2", "W3", "W4", "W5", "W6", "W7", "Wr0", "Wr1",
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    d = _COMPUTE_DTYPE
+    return jnp.dot(a.astype(d), b.astype(d),
+                   preferred_element_type=jnp.float32)
 
 
 def _dot_tn(a, b):
     """a^T @ b without materializing the transpose (MXU contraction dims)."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+    d = _COMPUTE_DTYPE
+    return jax.lax.dot_general(a.astype(d), b.astype(d),
+                               (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
 def _dot_nt(a, b):
     """a @ b^T without materializing the transpose."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+    d = _COMPUTE_DTYPE
+    return jax.lax.dot_general(a.astype(d), b.astype(d),
+                               (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
@@ -183,8 +201,8 @@ def _full_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _blk_spec(width):
-    return pl.BlockSpec((BLK, width), lambda i: (i, 0),
+def _blk_spec(width, blk=BLK):
+    return pl.BlockSpec((blk, width), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -200,15 +218,16 @@ def fused_mlp(xp, view, weights, interpret=False):
 def _fused_fwd(xp, view, weights, interpret):
     N = xp.shape[0]
     assert N % BLK == 0, N
-    grid = (N // BLK,)
+    fwd_blk = FWD_BLK if N % FWD_BLK == 0 else BLK
+    grid = (N // fwd_blk,)
     w_list = [weights[k] for k in _ORDER]
     out = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
-        in_specs=[_blk_spec(D_IN), _blk_spec(D_VIEW)] +
+        in_specs=[_blk_spec(D_IN, fwd_blk), _blk_spec(D_VIEW, fwd_blk)] +
                  [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
                   for k in _ORDER],
-        out_specs=_blk_spec(4),
+        out_specs=_blk_spec(4, fwd_blk),
         out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
         interpret=interpret,
     )(xp, view, *w_list)
@@ -317,7 +336,7 @@ def fused_apply_nerf_samples(params, arch, center, ray, depth, *,
                                               progress, barf_c2f)
     vi = jnp.concatenate([ray_unit, encv], axis=-1).reshape(-1, 27)
     N = xp.shape[0]
-    N_pad = -(-N // BLK) * BLK
+    N_pad = -(-N // FWD_BLK) * FWD_BLK if N >= FWD_BLK else -(-N // BLK) * BLK
     xp = jnp.pad(xp, ((0, N_pad - N), (0, D_IN - 63)))
     vi = jnp.pad(vi, ((0, N_pad - N), (0, D_VIEW - 27)))
     out = fused_mlp(xp, vi, pack_weights(params), interpret)[:N]
