@@ -57,3 +57,45 @@ def test_multi_step_matches_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
     assert int(state2["step"]) == n
+
+
+def test_fine_sampling_trains_and_renders():
+    """Hierarchical (coarse+fine) path: nerf_blender_repr-style config."""
+    opt = config.load_options("options/nerf_blender_repr.yaml")
+    over = config.parse_arguments([
+        "--model=nerf", "--yaml=nerf_blender_repr",
+        "--data.image_size=[12,12]",
+        "--arch.layers_feat=[null,24,24,24]",
+        "--arch.layers_rgb=[null,12,3]",
+        "--arch.skip=[1]",
+        "--arch.posenc.L_3D=3", "--arch.posenc.L_view=2",
+        "--nerf.sample_intvs=8",
+        "--nerf.sample_intvs_fine=8",
+        "--nerf.rand_rays=72",
+        "--nerf.density_noise_reg=0.1",
+        "--max_iter=30",
+    ])
+    opt = config.override_options(opt, over, key_stack=[], safe_check=True)
+    opt.H, opt.W = 12, 12
+    system = get_system_class("nerf")(opt)
+    rng = np.random.RandomState(0)
+    arrays = dict(
+        image=rng.rand(3, 12, 12, 3).astype(np.float32),
+        intr=np.tile(np.array([[8.0, 0, 6], [0, 8.0, 6], [0, 0, 1]],
+                              np.float32), (3, 1, 1)),
+        pose=np.tile(np.eye(3, 4, dtype=np.float32), (3, 1, 1)),
+        idx=np.arange(3, dtype=np.int32))
+    system.attach_data(arrays, arrays)
+    assert "nerf_fine" in system.init_params(jax.random.PRNGKey(0))
+    state = system.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for it in range(30):
+        state, metrics = system.train_step(state, jax.random.fold_in(key, it))
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(m["loss_all"])
+    assert "loss_render_fine" in m and np.isfinite(m["loss_render_fine"])
+    out = system.render_image(state["params"], state["aux"],
+                              system.test_data["pose"][:1],
+                              system.test_data["intr"][:1])
+    assert "rgb_fine" in out
+    assert np.all(np.isfinite(np.asarray(out["rgb_fine"])))
