@@ -118,10 +118,13 @@ class NerfSystem:
         return {"main": optax.adam(learning_rate=sched)}
 
     def init_state(self, key):
+        from ..utils.flat_optim import FlatMultiOptimizer
         k_param, k_aux = jax.random.split(key)
         params = self.init_params(k_param)
         labels = self.param_labels(params)
-        self.tx = optax.multi_transform(self.make_optimizers(), labels)
+        # raveled per-group Adam: bit-identical to per-leaf optax but a
+        # handful of fused ops instead of hundreds of tiny ones
+        self.tx = FlatMultiOptimizer(self.make_optimizers(), labels)
         opt_state = self.tx.init(params)
         return dict(params=params, opt_state=opt_state,
                     step=jnp.zeros((), jnp.int32), aux=self.init_aux(k_aux))
