@@ -157,6 +157,20 @@ class NerfSystem:
         if opt.camera.ndc:
             assert intr is not None, "NDC conversion needs per-image intrinsics"
             center, ray = rays.convert_NDC(center, ray, intr)
+        if (self._use_fused_field() and not opt.nerf.fine_sampling
+                and (opt.get("tpu") or {}).get("fused_raymarch", False)):
+            # fully fused ray-march (PE+MLP+composite in one kernel). Exact
+            # parity but measured SLOWER than the fused-field kernel on v5e
+            # (narrow-lane PE/composite ops fragment in Mosaic) — off by
+            # default, kept for further layout work (NOTES_r1.md).
+            from ..ops.pallas import raymarch
+            rgb, d, opac = raymarch.fused_render_rays(
+                params["nerf"], center, ray, depth,
+                progress=progress,
+                barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f") else None,
+                setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
+                bgcolor=opt.data.get("bgcolor"))
+            return dict(rgb=rgb, depth=d, opacity=opac)
         common = dict(
             view_dep=opt.nerf.view_dep,
             density_activ=self.arch.get("density_activ", "softplus"),

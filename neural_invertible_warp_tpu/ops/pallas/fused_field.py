@@ -129,6 +129,66 @@ def _fwd_kernel(xp_ref, view_ref, *wrefs):
     out_ref[:] = out
 
 
+def _mlp_backward(xp, view, w, g, accumulate):
+    """Shared MLP backward on one block.
+
+    Args:
+        g: [n, 4] cotangents of (rgb, density).
+        accumulate: fn(name, value) accumulating a weight/bias gradient.
+    Returns:
+        (dxp [n, D_IN], dview [n, D_VIEW])
+    """
+    n = xp.shape[0]
+    out, cache = _forward_block(xp, view, w, keep=True)
+    hs, c4, t, feat, v, r0, rgb_pre = cache
+    rgb = out[:, :3]
+
+    # heads (pad instead of scatter: Pallas TPU has no scatter lowering)
+    g_rgb_pre = jnp.pad(g[:, :3] * rgb * (1 - rgb),
+                        ((0, 0), (0, D_HEAD - 3)))
+    accumulate("Wr1", _dot_tn(r0, g_rgb_pre))
+    accumulate("br1", jnp.sum(g_rgb_pre, axis=0, keepdims=True))
+    g_r0 = _dot_nt(g_rgb_pre, w["Wr1"]) * (r0 > 0)
+    accumulate("Wr0", _dot_tn(v, g_r0))
+    accumulate("br0", jnp.sum(g_r0, axis=0, keepdims=True))
+    g_v = _dot_nt(g_r0, w["Wr0"])                              # [n, 288]
+    g_feat = g_v[:, :D_HID]
+    dview = g_v[:, D_HID:]
+
+    # density head: softplus' = sigmoid(pre)
+    g_density_pre = g[:, 3] * jax.nn.sigmoid(t[:, 0])
+    g_t = jnp.concatenate([
+        g_density_pre[:, None],
+        g_feat * (feat > 0),
+        jnp.zeros((n, D_OUT7 - D_HID - 1), jnp.float32),
+    ], axis=-1)
+    accumulate("W7", _dot_tn(hs[6], g_t))
+    accumulate("b7", jnp.sum(g_t, axis=0, keepdims=True))
+    g_h = _dot_nt(g_t, w["W7"]) * (hs[6] > 0)                  # grad at h6
+
+    for i in (6, 5):
+        accumulate("W{}".format(i), _dot_tn(hs[i - 1], g_h))
+        accumulate("b{}".format(i), jnp.sum(g_h, axis=0, keepdims=True))
+        g_h = _dot_nt(g_h, w["W{}".format(i)]) * (hs[i - 1] > 0)
+
+    # skip layer: input was c4 = [h3; xp]
+    accumulate("W4", _dot_tn(c4, g_h))
+    accumulate("b4", jnp.sum(g_h, axis=0, keepdims=True))
+    g_c4 = _dot_nt(g_h, w["W4"])                               # [n, 320]
+    g_xp = g_c4[:, D_HID:]
+    g_h = g_c4[:, :D_HID] * (hs[3] > 0)
+
+    for i in (3, 2, 1):
+        accumulate("W{}".format(i), _dot_tn(hs[i - 1], g_h))
+        accumulate("b{}".format(i), jnp.sum(g_h, axis=0, keepdims=True))
+        g_h = _dot_nt(g_h, w["W{}".format(i)]) * (hs[i - 1] > 0)
+
+    accumulate("W0", _dot_tn(xp, g_h))
+    accumulate("b0", jnp.sum(g_h, axis=0, keepdims=True))
+    dxp = g_xp + _dot_nt(g_h, w["W0"])
+    return dxp, dview
+
+
 def _bwd_kernel(xp_ref, view_ref, g_ref, *refs):
     """Recompute forward, backprop; accumulate dW/db across the grid."""
     w = {name: refs[i][:] for i, name in enumerate(_ORDER)}
@@ -143,57 +203,12 @@ def _bwd_kernel(xp_ref, view_ref, g_ref, *refs):
         for name in _ORDER:
             dw_refs[name][:] = jnp.zeros_like(dw_refs[name])
 
-    xp = xp_ref[:]
-    view = view_ref[:]
-    out, cache = _forward_block(xp, view, w, keep=True)
-    hs, c4, t, feat, v, r0, rgb_pre = cache
-    g = g_ref[:]                                              # [BLK, 4]
-    rgb = out[:, :3]
-    density = out[:, 3]
+    def accumulate(name, value):
+        dw_refs[name][:] += value
 
-    # heads (pad instead of scatter: Pallas TPU has no scatter lowering)
-    g_rgb_pre = jnp.pad(g[:, :3] * rgb * (1 - rgb),
-                        ((0, 0), (0, D_HEAD - 3)))
-    dw_refs["Wr1"][:] += _dot_tn(r0, g_rgb_pre)
-    dw_refs["br1"][:] += jnp.sum(g_rgb_pre, axis=0, keepdims=True)
-    g_r0 = _dot_nt(g_rgb_pre, w["Wr1"]) * (r0 > 0)
-    dw_refs["Wr0"][:] += _dot_tn(v, g_r0)
-    dw_refs["br0"][:] += jnp.sum(g_r0, axis=0, keepdims=True)
-    g_v = _dot_nt(g_r0, w["Wr0"])                              # [BLK, 288]
-    g_feat = g_v[:, :D_HID]
-    dview_ref[:] = g_v[:, D_HID:]
-
-    # density head: softplus' = sigmoid(pre)
-    g_density_pre = g[:, 3] * jax.nn.sigmoid(t[:, 0])
-    g_t = jnp.concatenate([
-        g_density_pre[:, None],
-        g_feat * (feat > 0),
-        jnp.zeros((BLK, D_OUT7 - D_HID - 1), jnp.float32),
-    ], axis=-1)
-    dw_refs["W7"][:] += _dot_tn(hs[6], g_t)
-    dw_refs["b7"][:] += jnp.sum(g_t, axis=0, keepdims=True)
-    g_h = _dot_nt(g_t, w["W7"]) * (hs[6] > 0)                  # grad at h6
-
-    for i in (6, 5):
-        dw_refs["W{}".format(i)][:] += _dot_tn(hs[i - 1], g_h)
-        dw_refs["b{}".format(i)][:] += jnp.sum(g_h, axis=0, keepdims=True)
-        g_h = _dot_nt(g_h, w["W{}".format(i)]) * (hs[i - 1] > 0)
-
-    # skip layer: input was c4 = [h3; xp]
-    dw_refs["W4"][:] += _dot_tn(c4, g_h)
-    dw_refs["b4"][:] += jnp.sum(g_h, axis=0, keepdims=True)
-    g_c4 = _dot_nt(g_h, w["W4"])                               # [BLK, 320]
-    g_xp = g_c4[:, D_HID:]
-    g_h = g_c4[:, :D_HID] * (hs[3] > 0)
-
-    for i in (3, 2, 1):
-        dw_refs["W{}".format(i)][:] += _dot_tn(hs[i - 1], g_h)
-        dw_refs["b{}".format(i)][:] += jnp.sum(g_h, axis=0, keepdims=True)
-        g_h = _dot_nt(g_h, w["W{}".format(i)]) * (hs[i - 1] > 0)
-
-    dw_refs["W0"][:] += _dot_tn(xp, g_h)
-    dw_refs["b0"][:] += jnp.sum(g_h, axis=0, keepdims=True)
-    dxp_ref[:] = g_xp + _dot_nt(g_h, w["W0"])
+    dxp, dview = _mlp_backward(xp_ref[:], view_ref[:], w, g_ref[:], accumulate)
+    dxp_ref[:] = dxp
+    dview_ref[:] = dview
 
 
 def _full_spec(shape):
