@@ -76,3 +76,28 @@ def restore_checkpoint(output_path, state_template, resume=True,
     state = merge(state_template, saved)
     log.info("restored checkpoint {} (iter {})".format(path, payload["iter"]))
     return state, payload["iter"]
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async-capable checkpointing for TPU pods
+# (SURVEY.md §5.3-5.4: orbax gives preemption recovery on pods; the pickle
+# backend above keeps the reference's single-file model.ckpt layout)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(output_path, state, it):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(output_path, "model_orbax",
+                                        str(int(it))))
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(path, _to_numpy(state), force=True)
+    return path
+
+
+def restore_checkpoint_orbax(output_path, state_template, it):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(output_path, "model_orbax",
+                                        str(int(it))))
+    checkpointer = ocp.PyTreeCheckpointer()
+    restored = checkpointer.restore(path, item=_to_numpy(state_template))
+    log.info("restored orbax checkpoint {}".format(path))
+    return restored, int(it)

@@ -37,3 +37,17 @@ def test_colorize_depth():
     valid = depth > 2
     rgb2 = vis.colorize_depth(depth, valid=valid)
     np.testing.assert_allclose(rgb2[~valid], 0)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from neural_invertible_warp_tpu.utils import ckpt as ckpt_util
+    state = dict(params=dict(w=jnp.arange(6.0).reshape(2, 3)),
+                 step=jnp.int32(7),
+                 nested=(jnp.ones(4), [jnp.zeros(2)]))
+    ckpt_util.save_checkpoint_orbax(str(tmp_path), state, it=42)
+    restored, it = ckpt_util.restore_checkpoint_orbax(str(tmp_path), state, 42)
+    assert it == 42
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(restored["step"]) == 7
