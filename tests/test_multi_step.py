@@ -99,3 +99,67 @@ def test_fine_sampling_trains_and_renders():
                               system.test_data["intr"][:1])
     assert "rgb_fine" in out
     assert np.all(np.isfinite(np.asarray(out["rgb_fine"])))
+
+
+def test_engine_chunk_boundaries(tmp_path):
+    """The scan-batched train loop must hit exactly the same logging /
+    validation / checkpoint iterations as the single-step loop."""
+    from neural_invertible_warp_tpu.dotdict import DotDict
+    from neural_invertible_warp_tpu.models.engine import Trainer
+
+    events = []
+
+    class StubSystem:
+        def train_step(self, state, key):
+            state = dict(state, step=state["step"] + 1)
+            events.append(("step", 1))
+            return state, {"loss_all": jnp_scalar()}
+
+        def train_multi_step(self, state, keys):
+            n = len(keys)
+            state = dict(state, step=state["step"] + n)
+            events.append(("multi", n))
+            return state, {"loss_all": jnp_scalar()}
+
+        def validate(self, state, max_views=None):
+            events.append(("val", int(state["step"])))
+            return {"psnr_val": 1.0}
+
+        def prealign(self, state):
+            return None
+
+    import jax.numpy as jnp
+
+    def jnp_scalar():
+        return jnp.float32(0.5)
+
+    opt = DotDict(dict(
+        model="nerf", seed=0, max_iter=100, output_path=str(tmp_path),
+        freq=dict(scalar=20, val=50, ckpt=100, early_termination=None),
+        tpu=dict(steps_per_call=16),
+        data=dict(val_sub=None),
+        tb=None, debug={},
+    ))
+    trainer = Trainer(opt)
+    trainer.system = StubSystem()
+    trainer.state = dict(step=jnp.int32(0))
+    trainer.iter_start = 0
+    trainer.save_checkpoint = lambda it: events.append(("ckpt", it))
+    trainer.log_scalars = lambda m, it, split="train": events.append(
+        ("log", it) if split == "train" else ("vallog", it))
+    trainer.train()
+
+    # total steps must be exactly max_iter
+    assert sum(n for kind, n in events if kind in ("step", "multi")) == 100
+    assert [e for e in events if e[0] == "log"] == \
+        [("log", 20), ("log", 40), ("log", 60), ("log", 80), ("log", 100)]
+    assert [e for e in events if e[0] == "val"] == [("val", 50), ("val", 100)]
+    assert ("ckpt", 100) in events
+    # chunks never cross a boundary
+    pos = 0
+    for kind, n in events:
+        if kind in ("step", "multi"):
+            start = pos
+            pos += n
+            for f in (20, 50, 100):
+                assert (start // f) == ((pos - 1) // f), (start, pos, f)
