@@ -243,3 +243,42 @@ class InnWarpSystem(BarfSystem):
         if "svd_poses" in extras:
             aux = dict(aux, global_rigid=extras["svd_poses"])
         return aux
+
+
+def verify_warp_rigidity(system, state, n_probes=10, seed=0):
+    """Diagnostic: how rigid is the learned warp? (reference verify_se3,
+    model/nerf_inn_llff.py:274-345).
+
+    For random vector pairs anchored at the warped origin, reports the angle
+    between them before/after warping and the norm ratio — an exactly rigid
+    warp preserves both. Returns dict of per-probe arrays.
+    """
+    rng = np.random.RandomState(seed)
+    params = state["params"]
+    feat = system._warp_feat(params)[:1]
+    alpha = system.alpha_ratio(state["step"])
+
+    def warp(p):
+        return inn.deform_forward(params["warp_mlp"], feat, p, alpha,
+                                  multires=system.multires,
+                                  actfn=system.actfn)
+
+    origin_w = warp(jnp.zeros((1, 1, 3)))[0, 0]
+    angles_before, angles_after, norm_ratios = [], [], []
+    for _ in range(n_probes):
+        v1 = rng.randn(3).astype(np.float32)
+        v2 = rng.randn(3).astype(np.float32)
+        w1 = np.asarray(warp(jnp.asarray(v1)[None, None])[0, 0]) - np.asarray(origin_w)
+        w2 = np.asarray(warp(jnp.asarray(v2)[None, None])[0, 0]) - np.asarray(origin_w)
+
+        def ang(a, b):
+            c = np.dot(a, b) / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+            return float(np.degrees(np.arccos(np.clip(c, -1, 1))))
+
+        angles_before.append(ang(v1, v2))
+        angles_after.append(ang(w1, w2))
+        norm_ratios.append(float(np.linalg.norm(w1) / max(np.linalg.norm(v1),
+                                                          1e-12)))
+    return dict(angle_before=np.array(angles_before),
+                angle_after=np.array(angles_after),
+                norm_ratio=np.array(norm_ratios))

@@ -202,3 +202,13 @@ def test_inn_pose_recovery_with_frozen_field(tmp_path_factory):
     assert np.isfinite(float(metrics["loss_all"]))
     assert err0 > 0.02, err0
     assert err1 < 0.6 * err0, "rotation error {} -> {}".format(err0, err1)
+
+
+def test_verify_warp_rigidity(trained):
+    """The global-alignment loss keeps the warp near-rigid: probe angles and
+    norms must be approximately preserved (reference verify_se3 diagnostic)."""
+    from neural_invertible_warp_tpu.models.inn_warp import verify_warp_rigidity
+    diag = verify_warp_rigidity(trained.system, trained.state)
+    angle_err = np.abs(diag["angle_before"] - diag["angle_after"])
+    assert np.median(angle_err) < 15.0, diag
+    assert 0.5 < np.median(diag["norm_ratio"]) < 2.0, diag
