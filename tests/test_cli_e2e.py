@@ -92,3 +92,51 @@ def test_train_resume_cli(scene, tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     out_dir = os.path.join(out_root, "cli", "run0")
     assert os.path.isfile(os.path.join(out_dir, "model", "40.ckpt"))
+
+
+def test_inn_train_and_evaluate_cli(tmp_path_factory):
+    """Flagship model through the public CLI: train + evaluate with pose
+    error dumps (quant_pose.txt) and sim3-aligned test rendering."""
+    scene_root = str(tmp_path_factory.mktemp("llff_scene"))
+    out_root = str(tmp_path_factory.mktemp("out"))
+    synth_data.make_consistent_llff_scene(scene_root, n_images=6,
+                                          img_size=(24, 24))
+    flags = [
+        "--data.root={}".format(scene_root),
+        "--data.scene=toyfern",
+        "--data.image_size=[24,24]",
+        "--data.num_workers=2",
+        "--data.val_ratio=0.2",
+        "--arch.layers_feat=[null,32,32,32]",
+        "--arch.layers_rgb=[null,16,3]",
+        "--arch.skip=[1]",
+        "--arch.posenc.L_3D=4",
+        "--arch.posenc.L_view=2",
+        "--nerf.sample_intvs=12",
+        "--nerf.rand_rays=120",
+        "--inn.real_nvp.d_hidden=32",
+        "--inn.real_nvp.max_pe_iter=20",
+        "--warp_latent.embed_dim=16",
+        "--loss_weight.global_alignment=3",
+        "--max_iter=25",
+        "--freq.scalar=10", "--freq.val=100", "--freq.ckpt=25",
+        "--output_root={}".format(out_root),
+        "--group=cli", "--name=inn",
+        "--seed=0",
+    ]
+    r = _run(["train.py", "--model=barf_inn_llff", "--yaml=barf_inn_llff"]
+             + flags)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out_dir = os.path.join(out_root, "cli", "inn")
+    assert os.path.isfile(os.path.join(out_dir, "model.ckpt"))
+
+    r2 = _run(["evaluate.py", "--model=barf_inn_llff", "--yaml=barf_inn_llff",
+               "--optim.test_photo=False", "--novel_view_video!"] + flags)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert os.path.isfile(os.path.join(out_dir, "quant.txt"))
+    assert os.path.isfile(os.path.join(out_dir, "quant_pose.txt"))
+    rows = open(os.path.join(out_dir, "quant_pose.txt")).read().strip().split("\n")
+    assert len(rows) == 5  # one per training image (6 imgs, 1 held out -> 5)
+    for row in rows:
+        _, r_err, t_err = row.split()
+        assert np.isfinite(float(r_err)) and np.isfinite(float(t_err))
