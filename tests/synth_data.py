@@ -207,6 +207,166 @@ def make_consistent_llff_scene(root, scene="toyfern", n_images=6,
     return opt
 
 
+# ---------------------------------------------------------------------------
+# Band-limited Gaussian-blob scenes (round-2 joint pose+field recovery runs)
+#
+# The round-1 procedural textures (sin products) alias at the rendered
+# resolution and destroy the smooth photometric gradients BARF-style pose
+# optimization needs (VERDICT.md Weak #2). These scenes are bounded and
+# band-limited: a set of soft Gaussian density blobs with smooth per-blob
+# colors — the BARF-friendly testbed the paper's behavior can be shown on.
+# ---------------------------------------------------------------------------
+
+def blob_params(seed=0, n_blobs=24, radius=1.1, center=(0.0, 0.0, 0.0),
+                axis_scale=(1.0, 1.0, 1.0), s_range=(0.16, 0.38)):
+    """Random bounded blob-field parameters (numpy, reproducible)."""
+    r = np.random.RandomState(seed)
+    v = r.randn(n_blobs, 3)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    rad = radius * r.rand(n_blobs) ** (1.0 / 3.0)
+    mu = v * rad[:, None] * np.asarray(axis_scale) + np.asarray(center)
+    s = s_range[0] + (s_range[1] - s_range[0]) * r.rand(n_blobs)
+    a = 25.0 + 35.0 * r.rand(n_blobs)
+    c = 0.06 + 0.88 * r.rand(n_blobs, 3)
+    return dict(mu=mu.astype(np.float32), s=s.astype(np.float32),
+                a=a.astype(np.float32), c=c.astype(np.float32))
+
+
+def analytic_blob_render(pose_w2c, intr, H, W, blob, n_samples=192,
+                         depth_range=(2.0, 6.0), bgcolor=1.0):
+    """Render the blob field from w2c poses. Returns [B,H,W,3] numpy."""
+    import jax
+    import jax.numpy as jnp
+    from neural_invertible_warp_tpu.ops import rays, render, sampling
+
+    mu = jnp.asarray(blob["mu"])
+    s = jnp.asarray(blob["s"])
+    a = jnp.asarray(blob["a"])
+    c = jnp.asarray(blob["c"])
+
+    @jax.jit
+    def render_one(pose, K):
+        center, ray = rays.get_center_and_ray(pose[None], K[None], H=H, W=W)
+        depth = sampling.sample_depth(jax.random.PRNGKey(0), 1, H * W,
+                                      n_samples, depth_range, stratified=False)
+        pts = center[..., None, :] + ray[..., None, :] * depth   # [1,HW,K,3]
+        d2 = jnp.sum((pts[..., None, :] - mu) ** 2, axis=-1)     # [1,HW,K,NB]
+        w_raw = jnp.exp(-0.5 * d2 / s ** 2)
+        # truncate tails at 3-sigma (smoothly) so the blobs stay compact:
+        # without this, 20+ Gaussian tails sum into a space-filling fog
+        w_cut = float(np.exp(-4.5))
+        w = a * jnp.maximum(w_raw - w_cut, 0.0) / (1.0 - w_cut)
+        sigma = jnp.sum(w, axis=-1)
+        wc = w_raw + 1e-8
+        rgb = jnp.sum(wc[..., None] * c, axis=-2) / jnp.sum(wc, -1)[..., None]
+        out_rgb, _, opac, _ = render.composite(ray, rgb, sigma, depth)
+        return out_rgb + bgcolor * (1 - opac)
+
+    pose_w2c = np.asarray(pose_w2c, np.float32)
+    intr = np.asarray(intr, np.float32)
+    out = [np.asarray(render_one(jnp.asarray(pose_w2c[i]),
+                                 jnp.asarray(intr[i]))).reshape(H, W, 3)
+           for i in range(pose_w2c.shape[0])]
+    return np.stack(out)
+
+
+def make_blob_blender_scene(root, scene="blobs", n_train=100, n_val=4,
+                            n_test=4, img_size=128, seed=0, n_blobs=24,
+                            radius=1.2, depth_range=(2.0, 6.0)):
+    """Blender-format scene: cameras on the r=4 sphere, blob ball at origin."""
+    from neural_invertible_warp_tpu.data import blender as blender_data
+
+    make_blender_scene(root, scene=scene, n_train=n_train, n_val=n_val,
+                       n_test=n_test, img_size=img_size, seed=seed)
+    blob = blob_params(seed=seed + 7, n_blobs=n_blobs, radius=radius)
+    opt = blender_opt(root, H=img_size, W=img_size, scene=scene)
+    for split in ("train", "val", "test"):
+        ds = blender_data.Dataset(opt, split=split)
+        arrays = ds.all_arrays(opt)
+        imgs = analytic_blob_render(arrays["pose"], arrays["intr"], img_size,
+                                    img_size, blob, depth_range=depth_range)
+        for i in range(len(ds)):
+            rgba = np.concatenate([
+                (np.clip(imgs[i], 0, 1) * 255).astype(np.uint8),
+                np.full((img_size, img_size, 1), 255, np.uint8)], axis=-1)
+            imageio.imwrite(
+                os.path.join(root, scene, split, "r_{}.png".format(i)), rgba)
+    return opt, blob
+
+
+def make_wide_llff_scene(root, scene="blobfern", n_images=40,
+                         img_size=(240, 320), seed=0, spread=0.5):
+    """LLFF-format poses_bounds with a WIDER forward-facing camera cluster
+    (so identity pose init has a meaningfully large error to recover)."""
+    rng = np.random.RandomState(seed)
+    path = os.path.join(root, scene)
+    img_dir = os.path.join(path, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    raw_H, raw_W, focal = 3024.0, 4032.0, 3260.0
+    rows = []
+    for i in range(n_images):
+        eye = np.array([spread * rng.randn(), spread * rng.randn(),
+                        4.0 + 0.6 * spread * rng.randn()])
+        c2w = look_at_c2w(eye, target=(0.3 * spread * rng.randn(),
+                                       0.3 * spread * rng.randn(), 0))
+        raw = c2w.copy()
+        raw[..., 0], raw[..., 1] = -c2w[..., 1], c2w[..., 0]
+        hwf = np.array([raw_H, raw_W, focal], np.float32)[:, None]
+        row = np.concatenate([np.concatenate([raw, hwf], axis=1).reshape(-1),
+                              np.array([2.0 + rng.rand() * 0.1, 8.0])])
+        rows.append(row)
+        imageio.imwrite(os.path.join(img_dir, "img_{:03d}.png".format(i)),
+                        _toy_image(img_size[0], img_size[1], seed * 100 + i))
+    np.save(os.path.join(path, "poses_bounds.npy"), np.stack(rows))
+    return path
+
+
+def make_blob_llff_scene(root, scene="blobfern", n_images=40,
+                         img_size=(240, 320), seed=0, spread=0.5,
+                         n_blobs=24, val_ratio=0.1):
+    """LLFF-format blob scene rendered from the loader-parsed poses.
+
+    The blob slab is placed in the PARSED world frame (after the loader's
+    centering + bounds rescale) at the mean look-at point of the cameras, so
+    content placement is robust to the LLFF pose conventions.
+    """
+    from neural_invertible_warp_tpu.data import llff as llff_data
+
+    make_wide_llff_scene(root, scene=scene, n_images=n_images,
+                         img_size=img_size, seed=seed, spread=spread)
+    H, W = img_size
+    opt = llff_opt(root, H=H, W=W, scene=scene)
+    opt.data.val_ratio = val_ratio
+    ds_train = llff_data.Dataset(opt, split="train")
+    arrays = ds_train.all_arrays(opt)
+    pose = np.asarray(arrays["pose"])                       # w2c [B,3,4]
+    R, t = pose[:, :, :3], pose[:, :, 3]
+    centers = -np.einsum("bij,bi->bj", R, t)                # c2w centers
+    look = R[:, 2, :]                                       # c2w z-axis rows
+    # triangulate the common look-at point: least-squares intersection of the
+    # view axes (the centered origin is the mean CAMERA position, so camera
+    # distance from the origin says nothing about where the content is)
+    P = np.eye(3)[None] - look[:, :, None] * look[:, None, :]
+    A = P.sum(0) + 1e-4 * np.eye(3)
+    b = np.einsum("bij,bj->i", P, centers)
+    target = np.linalg.solve(A, b)
+    dist = float(np.mean(np.linalg.norm(target - centers, axis=-1)))
+    blob = blob_params(seed=seed + 11, n_blobs=n_blobs, center=tuple(target),
+                       radius=0.9, axis_scale=(1.3, 1.0, 0.55),
+                       s_range=(0.14, 0.32))
+    near = max(0.3, dist - 1.6)
+    for split in ("train", "val"):
+        ds = llff_data.Dataset(opt, split=split)
+        arr = ds.all_arrays(opt)
+        imgs = analytic_blob_render(arr["pose"], arr["intr"], H, W, blob,
+                                    depth_range=(near, dist + 1.8))
+        for i in range(len(ds)):
+            fname = os.path.join(root, scene, "images", ds.list[i][0])
+            imageio.imwrite(fname,
+                            (np.clip(imgs[i], 0, 1) * 255).astype(np.uint8))
+    return opt, blob
+
+
 def analytic_render_with_depth(pose_w2c, intr, H, W, n_samples=96,
                                depth_range=(2.0, 6.0), bgcolor=1.0):
     """Like analytic_render but also returns the expected depth map [B,H,W]."""
