@@ -82,7 +82,9 @@ class InnWarpSystem(BarfSystem):
         aux = {}
         k_noise, _ = jax.random.split(key)
         if opt.data.dataset == "blender":
-            noise_type = opt.camera.get("noise_type", "barf")
+            # yaml `noise_type:` (empty value) parses to None and must mean
+            # the default barf-style se(3) noise, not "no noise"
+            noise_type = opt.camera.get("noise_type") or "barf"
             if noise_type == "barf" and opt.camera.get("noise_barf"):
                 se3_noise = jax.random.normal(k_noise, (self.n_train, 6)) \
                     * opt.camera.noise_barf
