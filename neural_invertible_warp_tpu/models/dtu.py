@@ -244,8 +244,11 @@ class InnDTUSystem(DTUMixin, PoseInitMixin, DTUAlignmentMixin, InnWarpSystem):
 
 def _dtu_evaluate_full(self, state, output_path=None, dump_images=True,
                        test_optim=None):
-    """DTU evaluation: adds masked PSNR and sim3-scaled depth errors to the
-    base metrics (reference model/nerf_dtu.py:202-300)."""
+    """DTU evaluation: adds fg-masked PSNR/SSIM/LPIPS (white-composited
+    images, reference model/nerf_dtu.py:237-248) and sim3-scaled depth
+    errors to the base metrics (reference model/nerf_dtu.py:202-300)."""
+    from ..ops import lpips as lpips_mod
+    from ..ops import ssim as ssim_mod
     results = super(DTUMixin, self).evaluate_full(
         state, output_path=output_path, dump_images=dump_images,
         test_optim=test_optim)
@@ -253,7 +256,9 @@ def _dtu_evaluate_full(self, state, output_path=None, dump_images=True,
     n = int(data["image"].shape[0])
     scale = self.depth_scaling_factor()
     progress = float(state["step"]) / self.opt.max_iter
-    depth_abs, depth_rms, psnr_masked = [], [], []
+    lpips_ok = lpips_mod.available()
+    depth_abs, depth_rms = [], []
+    psnr_masked, ssim_masked, lpips_masked = [], [], []
     for i in range(n):
         pose = self.get_eval_pose(state["params"], state["aux"],
                                   data["pose"][i:i + 1])
@@ -268,13 +273,30 @@ def _dtu_evaluate_full(self, state, output_path=None, dump_images=True,
         depth_rms.append(float(r))
         rkey = "rgb_fine" if "rgb_fine" in out else "rgb"
         pred = jnp.asarray(out[rkey]).reshape(self.H, self.W, 3)
+        mask = jnp.asarray(data["fg_mask"][i]) > 0.5
+        pred_fg = metrics_ops.white_composite(pred, mask)
+        gt_fg = metrics_ops.white_composite(jnp.asarray(data["image"][i]),
+                                            mask)
         psnr_masked.append(float(metrics_ops.masked_psnr(
-            pred, data["image"][i], data["fg_mask"][i] > 0.5)))
+            pred, data["image"][i], mask)))
+        pred_fg_t = pred_fg.transpose(2, 0, 1)[None]
+        gt_fg_t = gt_fg.transpose(2, 0, 1)[None]
+        ssim_masked.append(float(ssim_mod.ssim(pred_fg_t, gt_fg_t)))
+        if lpips_ok:
+            lpips_masked.append(lpips_mod.lpips(pred_fg_t * 2 - 1,
+                                                gt_fg_t * 2 - 1))
     results["depth_abs"] = float(np.mean(depth_abs))
     results["depth_rms"] = float(np.mean(depth_rms))
     results["PSNR_masked"] = float(np.mean(psnr_masked))
-    log.info("DTU depth abs {:.4f} | rms {:.4f} | masked PSNR {:.2f}".format(
-        results["depth_abs"], results["depth_rms"], results["PSNR_masked"]))
+    results["SSIM_masked"] = float(np.mean(ssim_masked))
+    results["LPIPS_masked"] = float(np.mean(lpips_masked)) if lpips_ok \
+        else None
+    log.info("DTU depth abs {:.4f} | rms {:.4f} | masked PSNR {:.2f} | "
+             "masked SSIM {:.3f} | masked LPIPS {}".format(
+                 results["depth_abs"], results["depth_rms"],
+                 results["PSNR_masked"], results["SSIM_masked"],
+                 "{:.4f}".format(results["LPIPS_masked"]) if lpips_ok
+                 else "unavailable"))
     return results
 
 

@@ -410,6 +410,13 @@ class EvalMixin:
             test_optim = bool(opt.optim.get("test_photo")) and \
                 hasattr(self, "test_time_optimized_pose")
 
+        lpips_ok = lpips_mod.available()
+        if not lpips_ok:
+            log.warn("LPIPS unavailable: no AlexNet-LPIPS weights found; "
+                     "set {}=<npz> (see tools/convert_lpips_weights.py). "
+                     "quant.txt will record 'unavailable'."
+                     .format(lpips_mod.WEIGHTS_ENV))
+
         data = self.test_data
         n = int(data["image"].shape[0])
         progress = float(state["step"]) / opt.max_iter
@@ -432,7 +439,8 @@ class EvalMixin:
             pred_t = jnp.asarray(pred).transpose(2, 0, 1)[None]
             gt_t = jnp.asarray(gt).transpose(2, 0, 1)[None]
             ssim_v = float(ssim_mod.ssim(pred_t, gt_t))
-            lpips_v = lpips_mod.lpips(pred_t * 2 - 1, gt_t * 2 - 1)
+            lpips_v = lpips_mod.lpips(pred_t * 2 - 1, gt_t * 2 - 1) \
+                if lpips_ok else None
             rows.append((psnr, ssim_v, lpips_v))
             if dump_images:
                 depth_key = "depth_fine" if "depth_fine" in out else "depth"
@@ -447,12 +455,16 @@ class EvalMixin:
                           inv / max(inv.max(), 1e-8))
         results["PSNR"] = float(np.mean([r[0] for r in rows]))
         results["SSIM"] = float(np.mean([r[1] for r in rows]))
-        results["LPIPS"] = float(np.mean([r[2] for r in rows]))
+        results["LPIPS"] = float(np.mean([r[2] for r in rows])) \
+            if lpips_ok else None
+        lpips_str = "{:.4f}".format(results["LPIPS"]) if lpips_ok \
+            else "unavailable"
         with open(os.path.join(output_path, "quant.txt"), "w") as f:
-            for i, r in enumerate(rows):
-                f.write("{} {} {} {}\n".format(i, *r))
+            for i, (p, s, l) in enumerate(rows):
+                f.write("{} {} {} {}\n".format(
+                    i, p, s, l if l is not None else "unavailable"))
         log.info("PSNR {:.2f} | SSIM {:.3f} | LPIPS {}".format(
-            results["PSNR"], results["SSIM"], results["LPIPS"]))
+            results["PSNR"], results["SSIM"], lpips_str))
         return results
 
 

@@ -14,15 +14,22 @@ import os
 
 import numpy as np
 
-_WEIGHTS_ENV = "NIW_LPIPS_WEIGHTS"
+WEIGHTS_ENV = "NIW_LPIPS_WEIGHTS"
+_WEIGHTS_ENV = WEIGHTS_ENV   # backwards-compat alias
 _cache = {"checked": False, "weights": None}
+
+
+def reset_cache():
+    """Forget the cached weight lookup (tests change the env var)."""
+    _cache["checked"] = False
+    _cache["weights"] = None
 
 
 def _load_weights():
     if _cache["checked"]:
         return _cache["weights"]
     _cache["checked"] = True
-    path = os.environ.get(_WEIGHTS_ENV)
+    path = os.environ.get(WEIGHTS_ENV)
     if path and os.path.isfile(path):
         try:
             _cache["weights"] = dict(np.load(path))
@@ -35,9 +42,13 @@ def available():
     return _load_weights() is not None
 
 
-def lpips(img1, img2):
-    """[B,C,H,W] in [-1,1] -> scalar LPIPS, or NaN if weights unavailable."""
-    w = _load_weights()
+def lpips(img1, img2, weights=None):
+    """[B,C,H,W] in [-1,1] -> scalar LPIPS, or NaN if weights unavailable.
+
+    ``weights`` overrides the env-located npz (used by tests); layout:
+    conv0..conv4 [out,in,kh,kw] + conv{i}_b biases (torchvision AlexNet
+    features) and lin0..lin4 per-channel LPIPS head weights."""
+    w = weights if weights is not None else _load_weights()
     if w is None:
         return float("nan")
     import jax

@@ -49,10 +49,20 @@ def depth_error_full(pred_depth, depth_gt, valid, scaling_factor=1.0):
     return jnp.minimum(abs_u, abs_s), jnp.minimum(rmse_u, rmse_s)
 
 
+def white_composite(img, mask):
+    """Composite the foreground onto a white background:
+    ``img*m + (1-m)`` (reference model/nerf_dtu.py:241-243).
+    img: [H,W,3]; mask: [H,W] (1 = foreground)."""
+    m = mask[..., None].astype(img.dtype)
+    return img * m + (1.0 - m)
+
+
 def masked_psnr(pred, gt, mask):
-    """PSNR over foreground pixels (reference model/nerf_dtu.py:237-248).
+    """Masked PSNR (reference model/nerf_dtu.py:237-248): both images are
+    white-composited with the fg mask and PSNR is taken over ALL pixels
+    (background pixels agree exactly, so they contribute zero error but DO
+    count in the normalization — the reference's convention).
     pred/gt: [H,W,3]; mask: [H,W]."""
-    m = mask[..., None].astype(pred.dtype)
-    n = jnp.sum(m) * 3
-    mse = jnp.sum(((pred - gt) * m) ** 2) / (n + 1e-6)
+    mse = jnp.mean((white_composite(pred, mask)
+                    - white_composite(gt, mask)) ** 2)
     return -10.0 * jnp.log10(mse + 1e-12)

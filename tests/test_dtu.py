@@ -186,6 +186,38 @@ def test_dtu_training_smoke(dtu_root, model, tmp_path):
     assert np.isfinite(results["PSNR"]) and np.isfinite(results["SSIM"])
     assert np.isfinite(results["depth_abs"]) and np.isfinite(results["depth_rms"])
     assert np.isfinite(results["PSNR_masked"])
+    # masked SSIM/LPIPS trio (reference model/nerf_dtu.py:237-248):
+    # SSIM on white-composited images; LPIPS None while weights are ungated
+    assert np.isfinite(results["SSIM_masked"])
+    assert -1.0 <= results["SSIM_masked"] <= 1.0
+    assert results["LPIPS_masked"] is None
     import os
     assert os.path.isfile(os.path.join(str(tmp_path), "quant.txt"))
     assert os.path.isfile(os.path.join(str(tmp_path), "quant_pose.txt"))
+
+
+def test_masked_metric_semantics():
+    """Masked PSNR follows the reference's white-composite convention:
+    background pixels contribute zero error but count in the mean."""
+    from neural_invertible_warp_tpu.ops import metrics as metrics_ops
+    H = W = 8
+    rng = np.random.RandomState(0)
+    gt = rng.rand(H, W, 3).astype(np.float32)
+    pred = gt.copy()
+    mask = np.zeros((H, W), bool)
+    mask[:4] = True
+    # corrupt only background -> masked PSNR unaffected (perfect)
+    pred_bg = pred.copy()
+    pred_bg[4:] = 0.0
+    v = float(metrics_ops.masked_psnr(jnp.asarray(pred_bg), jnp.asarray(gt),
+                                      jnp.asarray(mask)))
+    assert v > 100.0
+    # corrupt foreground by a known amount: white-composite MSE =
+    # fg_fraction * delta^2, PSNR = -10 log10 of that
+    delta = 0.1
+    pred_fg = gt.copy()
+    pred_fg[:4] += delta
+    v = float(metrics_ops.masked_psnr(jnp.asarray(pred_fg), jnp.asarray(gt),
+                                      jnp.asarray(mask)))
+    expect = -10 * np.log10(0.5 * delta ** 2)
+    assert abs(v - expect) < 0.05
