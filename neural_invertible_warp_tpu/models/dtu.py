@@ -222,6 +222,9 @@ class InnDTUSystem(DTUMixin, PoseInitMixin, DTUAlignmentMixin, InnWarpSystem):
             pose_init=aux["initial_poses_w2c"])
         center_init = jax.lax.stop_gradient(center_init)
         grid_init = jax.lax.stop_gradient(grid_init)
+        from ..parallel import mesh as mesh_lib
+        center_init = mesh_lib.shard_batch_rays(center_init)
+        grid_init = mesh_lib.shard_batch_rays(grid_init)
         N = ray_idx.shape[0]
         coords = jnp.concatenate([grid_init, center_init], axis=1)
         warped = self.warp_points(params, coords, step)

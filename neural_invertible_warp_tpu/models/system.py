@@ -302,7 +302,14 @@ class NerfSystem:
     # ----------------------------------------------------------- eval render
 
     def make_render_image(self):
-        """Full-image renderer: lax.map over ray chunks (static shapes)."""
+        """Full-image renderer: lax.map over ray chunks (static shapes).
+
+        Under an active device mesh each chunk's ray axis is additionally
+        sharded across chips (SURVEY.md §2.4: eval images sharded by rays,
+        assembled by the output all_gather GSPMD inserts for the replicated
+        result) — the serial chunk loop bounds per-chip memory while the
+        in-chunk shard uses every chip.
+        """
         opt = self.opt
         chunk = min(opt.nerf.rand_rays, self.HW)
         n_chunks = -(-self.HW // chunk)
@@ -315,6 +322,8 @@ class NerfSystem:
             def body(ray_idx):
                 center, ray = rays.get_center_and_ray(
                     pose, intr, H=self.H, W=self.W, ray_idx=ray_idx)
+                center = mesh_lib.shard_batch_rays(center)
+                ray = mesh_lib.shard_batch_rays(ray)
                 out = self.render_rays(params, center, ray,
                                        jax.random.PRNGKey(0), mode="eval",
                                        progress=progress, intr=intr)
@@ -323,8 +332,11 @@ class NerfSystem:
                 return {k: v for k, v in out.items() if k in keep}
 
             outs = jax.lax.map(body, idx_chunks)
-            # [n_chunks, 1, chunk, C] -> [1, HW, C]
-            return {k: v.swapaxes(0, 1).reshape(v.shape[1], padded, -1)[:, :self.HW]
+            # [n_chunks, 1, chunk, C] -> [1, HW, C]; replicate so the host
+            # reads one assembled image (the all_gather happens here)
+            return {k: mesh_lib.replicate(
+                        v.swapaxes(0, 1).reshape(v.shape[1], padded, -1)
+                        [:, :self.HW])
                     for k, v in outs.items()}
 
         return render_one

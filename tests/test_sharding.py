@@ -90,3 +90,124 @@ def test_mesh_helpers_noop_without_mesh():
     x = jnp.ones((8, 4))
     np.testing.assert_array_equal(np.asarray(mesh_lib.shard_batch_rays(x)),
                                   np.ones((8, 4)))
+
+
+# ---------------------------------------------------------------------------
+# breadth: barf (SE3), barf_inn_dtu, and the sharded eval renderer
+# (VERDICT r1 item 5), each at n in {2, 8}
+# ---------------------------------------------------------------------------
+
+def tiny_barf_opt(H=16, W=16):
+    opt = config.load_options("options/barf_blender.yaml")
+    over = config.parse_arguments([
+        "--model=barf", "--yaml=barf_blender",
+        "--data.image_size=[{},{}]".format(H, W),
+        "--arch.layers_feat=[null,32,32,32,32]",
+        "--arch.layers_rgb=[null,16,3]",
+        "--arch.skip=[2]",
+        "--arch.posenc.L_3D=4", "--arch.posenc.L_view=2",
+        "--nerf.sample_intvs=16",
+        "--nerf.rand_rays=256",
+        "--max_iter=100",
+    ])
+    opt = config.override_options(opt, over, key_stack=[], safe_check=True)
+    opt.H, opt.W = H, W
+    return opt
+
+
+def tiny_inn_dtu_opt(H=16, W=16):
+    opt = config.load_options("options/barf_inn_dtu.yaml")
+    over = config.parse_arguments([
+        "--model=barf_inn_dtu", "--yaml=barf_inn_dtu",
+        "--data.image_size=[{},{}]".format(H, W),
+        "--arch.layers_feat=[null,32,32,32,32]",
+        "--arch.layers_rgb=[null,16,3]",
+        "--arch.skip=[2]",
+        "--arch.posenc.L_3D=4", "--arch.posenc.L_view=2",
+        "--nerf.sample_intvs=16",
+        "--nerf.rand_rays=256",
+        "--inn.real_nvp.d_hidden=32",
+        "--loss_weight.global_alignment=3",
+        "--pose.init=noisy_gt",
+        "--max_iter=100",
+    ])
+    opt = config.override_options(opt, over, key_stack=[], safe_check=True)
+    opt.H, opt.W = H, W
+    return opt
+
+
+def dtu_synth_arrays(n, H, W, seed=0):
+    arrays = synth_arrays(n, H, W, seed=seed)
+    rng = np.random.RandomState(seed + 100)
+    arrays["depth_range"] = np.tile(np.array([1.2, 5.2], np.float32), (n, 1))
+    arrays["depth_gt"] = rng.rand(n, H, W).astype(np.float32) * 4 + 1.2
+    arrays["valid_depth_gt"] = np.ones((n, H, W), np.float32)
+    arrays["fg_mask"] = np.ones((n, H, W), np.float32)
+    return arrays
+
+
+def build_named_system(opt, dtu=False):
+    cls = get_system_class(opt.model)
+    system = cls(opt)
+    H, W = opt.H, opt.W
+    make = dtu_synth_arrays if dtu else synth_arrays
+    system.attach_data(make(4, H, W), make(2, H, W, seed=1))
+    state = system.init_state(jax.random.PRNGKey(0))
+    return system, state
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("model", ["barf", "barf_inn_dtu"])
+def test_sharded_step_parity_model_zoo(model, n_dev):
+    dtu = model == "barf_inn_dtu"
+    opt_fn = tiny_inn_dtu_opt if dtu else tiny_barf_opt
+    key = jax.random.PRNGKey(3)
+
+    sys_single, state_single = build_named_system(opt_fn(), dtu=dtu)
+    _, m_single = sys_single.train_step(state_single, key)
+
+    mesh = mesh_lib.make_mesh(n_dev)
+    with mesh_lib.use_mesh(mesh):
+        sys_shard, state_shard = build_named_system(opt_fn(), dtu=dtu)
+        new_state, m_shard = sys_shard.train_step(state_shard, key)
+        _, m_shard2 = sys_shard.train_step(new_state,
+                                           jax.random.fold_in(key, 1))
+
+    for k in m_single:
+        np.testing.assert_allclose(float(m_single[k]), float(m_shard[k]),
+                                   rtol=5e-4, atol=1e-5, err_msg=k)
+    assert np.isfinite(float(m_shard2["loss_all"]))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_render_image_parity(n_dev):
+    opt = tiny_inn_opt()
+    sys_single, state_single = build_system(opt)
+    out_single = sys_single.render_image(
+        state_single["params"], state_single["aux"],
+        sys_single.test_data["pose"][:1], sys_single.test_data["intr"][:1])
+
+    mesh = mesh_lib.make_mesh(n_dev)
+    with mesh_lib.use_mesh(mesh):
+        sys_shard, state_shard = build_system(opt)
+        out_shard = sys_shard.render_image(
+            state_shard["params"], state_shard["aux"],
+            sys_shard.test_data["pose"][:1], sys_shard.test_data["intr"][:1])
+
+    np.testing.assert_allclose(np.asarray(out_single["rgb"]),
+                               np.asarray(out_shard["rgb"]),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_render_image_has_collectives():
+    opt = tiny_inn_opt()
+    mesh = mesh_lib.make_mesh(8)
+    with mesh_lib.use_mesh(mesh):
+        system, state = build_system(opt)
+        render = jax.jit(system.make_render_image())
+        lowered = render.lower(state["params"], state["aux"],
+                               system.test_data["pose"][:1],
+                               system.test_data["intr"][:1], jnp.float32(1.0))
+        hlo = lowered.compile().as_text()
+    assert ("all-reduce" in hlo) or ("all-gather" in hlo) or \
+           ("collective" in hlo), "no collectives in sharded eval HLO"
