@@ -23,10 +23,7 @@ class Dataset:
     def __init__(self, opt, split="train"):
         self.opt = opt
         self.split = split
-        if opt.data.get("augment"):
-            raise NotImplementedError(
-                "photometric augmentation is not supported (the reference only "
-                "uses it for 2D experiments; reference data/base.py:74-90)")
+        self.augment = bool(opt.data.get("augment")) and split == "train"
         if opt.data.get("center_crop") is not None:
             self.crop_H = int(self.raw_H * opt.data.center_crop)
             self.crop_W = int(self.raw_W * opt.data.center_crop)
@@ -54,10 +51,74 @@ class Dataset:
     def get_camera(self, opt, idx):
         raise NotImplementedError
 
+    # -- photometric augmentation (reference data/base.py:74-90) -------------
+
+    def generate_augmentation(self, opt, rng=None):
+        """Sample one augmentation: color-jitter factors (brightness /
+        contrast / saturation multiplicative, hue additive) in the same
+        ranges as torchvision ColorJitter.get_params, plus optional hflip
+        and rotation. torchvision-free (PIL ImageEnhance + HSV)."""
+        rng = rng or np.random
+        a = opt.data.augment
+        jitter_order = rng.permutation(4)   # ColorJitter randomizes order
+        jitter = dict(
+            brightness=1 + (rng.rand() * 2 - 1) * (a.get("brightness") or 0.0),
+            contrast=1 + (rng.rand() * 2 - 1) * (a.get("contrast") or 0.0),
+            saturation=1 + (rng.rand() * 2 - 1) * (a.get("saturation") or 0.0),
+            hue=(rng.rand() * 2 - 1) * (a.get("hue") or 0.0),
+        )
+        return dict(
+            jitter=jitter, jitter_order=jitter_order,
+            flip=bool(rng.randn() > 0) if a.get("hflip") else False,
+            rot_angle=(rng.rand() * 2 - 1) * a.rotate if a.get("rotate")
+            else 0.0,
+        )
+
+    @staticmethod
+    def apply_color_jitter(image, jitter, order):
+        """PIL color jitter matching torchvision adjust_* semantics."""
+        import PIL.ImageEnhance
+        mode = image.mode
+        if mode != "RGB":
+            chans = image.split()
+            image = PIL.Image.merge("RGB", chans[:3])
+        for op in order:
+            if op == 0 and jitter["brightness"] != 1:
+                image = PIL.ImageEnhance.Brightness(image).enhance(
+                    jitter["brightness"])
+            elif op == 1 and jitter["contrast"] != 1:
+                image = PIL.ImageEnhance.Contrast(image).enhance(
+                    jitter["contrast"])
+            elif op == 2 and jitter["saturation"] != 1:
+                image = PIL.ImageEnhance.Color(image).enhance(
+                    jitter["saturation"])
+            elif op == 3 and jitter["hue"] != 0:
+                h, s, v = image.convert("HSV").split()
+                h = h.point(lambda x: (x + int(jitter["hue"] * 255)) % 256)
+                image = PIL.Image.merge("HSV", (h, s, v)).convert("RGB")
+        if mode != "RGB" and len(chans) == 4:
+            image = PIL.Image.merge("RGBA", (*image.split(), chans[3]))
+        return image
+
+    def apply_augmentation(self, image, aug):
+        image = self.apply_color_jitter(image, aug["jitter"],
+                                        aug["jitter_order"])
+        if aug["flip"]:
+            image = image.transpose(PIL.Image.FLIP_LEFT_RIGHT)
+        if aug["rot_angle"]:
+            image = image.rotate(aug["rot_angle"],
+                                 resample=PIL.Image.BICUBIC)
+        return image
+
     # -- preprocessing ------------------------------------------------------
 
-    def preprocess_image(self, opt, image):
-        """PIL -> float32 [H,W,C] in [0,1], with center-crop + resize."""
+    def preprocess_image(self, opt, image, aug=None):
+        """PIL -> float32 [H,W,C] in [0,1], with optional photometric
+        augmentation, then center-crop + resize."""
+        if aug is None and self.augment:
+            aug = self.generate_augmentation(opt)
+        if aug is not None:
+            image = self.apply_augmentation(image, aug)
         if opt.data.get("center_crop") is not None:
             left = (self.raw_W - self.crop_W) // 2
             top = (self.raw_H - self.crop_H) // 2

@@ -85,13 +85,33 @@ class PoseInitMixin:
         elif mode == "given":
             init = gt.copy()
         elif mode == "colmap":
-            raise NotImplementedError(
-                "COLMAP/PDC-Net pose initialization requires the optional "
-                "SfM subsystem (reference utils/colmap_initialization); "
-                "use init in {identity, noisy_gt, given}")
+            # SfM initialization (reference model/barf_dtu.py:55-67 +
+            # utils/colmap_initialization/sfm.py:337-406): matcher ->
+            # reconstruction -> sim3-align the recovered trajectory onto the
+            # GT frame (fixes the arbitrary SfM gauge/scale, as the
+            # reference does via prealign_w2c_small_camera_systems).
+            import os
+            from ..utils import colmap_init
+            sfm_cfg = opt.pose.get("sfm") or {}
+            save_dir = None
+            if opt.get("output_path"):
+                save_dir = os.path.join(opt.output_path, "sfm")
+            init, valid, excluded = colmap_init.compute_sfm_poses(
+                np.asarray(self.train_data["image"]),
+                np.asarray(self.train_data["intr"]),
+                matcher=sfm_cfg.get("matcher") or "zncc",
+                quant_px=sfm_cfg.get("quant_px") or 1.0,
+                save_dir=save_dir)
+            self.sfm_valid_idx = valid
+            self.sfm_excluded = excluded
+            log.info("SfM pose init: {} valid, excluded {}".format(
+                len(valid), excluded))
+            init, _ = align.prealign_w2c_small_camera_systems(init, gt) \
+                if self.n_train <= 9 else \
+                align.prealign_w2c_large_camera_systems(init, gt)
         else:
             raise ValueError("unknown pose.init: {}".format(mode))
-        return jnp.asarray(init)
+        return jnp.asarray(np.asarray(init, np.float32))
 
 
 class DTUAlignmentMixin:

@@ -51,15 +51,20 @@ class Trainer:
         self.state = self.system.init_state(jax.random.PRNGKey(opt.seed or 0))
         self.iter_start = 0
 
+    def _ckpt_backend(self):
+        return (self.opt.get("ckpt") or {}).get("backend") or "pickle"
+
     def restore_checkpoint(self):
         opt = self.opt
         if opt.get("resume"):
-            self.state, it = ckpt_util.restore_checkpoint(
-                opt.output_path, self.state, resume=opt.resume)
+            self.state, it = ckpt_util.restore(
+                opt.output_path, self.state, resume=opt.resume,
+                backend=self._ckpt_backend())
             self.iter_start = it
         elif opt.get("load"):
-            self.state, _ = ckpt_util.restore_checkpoint(
-                opt.output_path, self.state, load_name=opt.load)
+            self.state, _ = ckpt_util.restore(
+                opt.output_path, self.state, load_name=opt.load,
+                backend=self._ckpt_backend())
         else:
             log.info("initializing weights from scratch...")
 
@@ -142,21 +147,40 @@ class Trainer:
         self.log_scalars(scalars, step, split="val")
         if self.tb and res.get("vis"):
             opt = self.opt
-            vis = res["vis"]
-            rgb = np.clip(vis["rgb"].reshape(opt.H, opt.W, 3), 0, 1)
-            self.tb.add_image("val/rgb", rgb, step, dataformats="HWC")
             from ..ops.render import invdepth_map
-            from ..utils.vis import colorize_depth
+            from ..utils.vis import colorize_depth, tile_images
             import jax.numpy as jnp
-            inv = np.asarray(invdepth_map(
-                jnp.asarray(vis["depth"]), jnp.asarray(vis["opacity"]),
-                ndc=bool(opt.camera.ndc))).reshape(opt.H, opt.W)
-            self.tb.add_image("val/invdepth", colorize_depth(inv), step,
+
+            def to_rgb(vis):
+                return np.clip(vis["rgb"].reshape(opt.H, opt.W, 3), 0, 1)
+
+            def to_invdepth(vis):
+                inv = np.asarray(invdepth_map(
+                    jnp.asarray(vis["depth"]), jnp.asarray(vis["opacity"]),
+                    ndc=bool(opt.camera.ndc))).reshape(opt.H, opt.W)
+                return colorize_depth(inv)
+
+            vis_all = res.get("vis_all") or [res["vis"]]
+            self.tb.add_image("val/rgb", to_rgb(vis_all[0]), step,
                               dataformats="HWC")
+            self.tb.add_image("val/invdepth", to_invdepth(vis_all[0]), step,
+                              dataformats="HWC")
+            # tiled grids (reference tb.num_images [rows, cols])
+            if len(vis_all) > 1 and opt.get("tb") and opt.tb.get("num_images"):
+                rows, cols = (int(x) for x in opt.tb.num_images)
+                self.tb.add_image(
+                    "val/rgb_grid",
+                    tile_images([to_rgb(v) for v in vis_all], rows, cols),
+                    step, dataformats="HWC")
+                self.tb.add_image(
+                    "val/invdepth_grid",
+                    tile_images([to_invdepth(v) for v in vis_all], rows, cols),
+                    step, dataformats="HWC")
         return res
 
     def save_checkpoint(self, it):
-        path = ckpt_util.save_checkpoint(self.opt.output_path, self.state, it)
+        path = ckpt_util.save(self.opt.output_path, self.state, it,
+                              backend=self._ckpt_backend())
         log.info("checkpoint saved: {}".format(path))
 
 

@@ -365,8 +365,15 @@ class NerfSystem:
         if max_views:
             n = min(n, max_views)
         progress = float(state["step"]) / self.opt.max_iter
+        # number of views to keep for TB image grids (reference tb.num_images
+        # [rows, cols], options/base.yaml:50 / util_vis.py:34-51)
+        n_vis = 1
+        tb_cfg = self.opt.get("tb")
+        if tb_cfg and tb_cfg.get("num_images"):
+            r, c = tb_cfg.num_images
+            n_vis = int(r) * int(c)
         psnrs = []
-        first_vis = None
+        vis_all = []
         for i in range(n):
             pose_GT = data["pose"][i:i + 1]
             pose = self.get_eval_pose(state["params"], state["aux"], pose_GT)
@@ -375,9 +382,10 @@ class NerfSystem:
             key = "rgb_fine" if "rgb_fine" in out else "rgb"
             mse = float(jnp.mean((out[key] - data["pixels"][i:i + 1]) ** 2))
             psnrs.append(-10.0 * np.log10(mse))
-            if first_vis is None:
-                first_vis = {k: np.asarray(v) for k, v in out.items()}
-        return dict(psnr_val=float(np.mean(psnrs)), vis=first_vis)
+            if len(vis_all) < n_vis:
+                vis_all.append({k: np.asarray(v) for k, v in out.items()})
+        return dict(psnr_val=float(np.mean(psnrs)), vis=vis_all[0],
+                    vis_all=vis_all)
 
 
 # ---------------------------------------------------------------------------

@@ -101,3 +101,34 @@ def restore_checkpoint_orbax(output_path, state_template, it):
     restored = checkpointer.restore(path, item=_to_numpy(state_template))
     log.info("restored orbax checkpoint {}".format(path))
     return restored, int(it)
+
+
+def latest_orbax_iter(output_path):
+    root = os.path.join(output_path, "model_orbax")
+    its = [int(d) for d in os.listdir(root) if d.isdigit()] \
+        if os.path.isdir(root) else []
+    if not its:
+        raise FileNotFoundError("no orbax checkpoints under {}".format(root))
+    return max(its)
+
+
+# ---------------------------------------------------------------------------
+# backend dispatch (config flag ckpt.backend: pickle | orbax)
+# ---------------------------------------------------------------------------
+
+def save(output_path, state, it, backend="pickle"):
+    if backend == "orbax":
+        return save_checkpoint_orbax(output_path, state, it)
+    return save_checkpoint(output_path, state, it)
+
+
+def restore(output_path, state_template, resume=True, load_name=None,
+            backend="pickle"):
+    if backend == "orbax":
+        if load_name is not None:
+            raise ValueError("--load with the orbax backend: pass the "
+                             "iteration number via --resume=<it> instead")
+        it = latest_orbax_iter(output_path) if resume is True else int(resume)
+        return restore_checkpoint_orbax(output_path, state_template, it)
+    return restore_checkpoint(output_path, state_template, resume=resume,
+                              load_name=load_name)

@@ -93,6 +93,19 @@ def colorize_depth(depth, valid=None, cmap="viridis"):
     return rgb
 
 
+def tile_images(images, rows, cols):
+    """Tile a list of [H,W,3] images into one [rows*H, cols*W, 3] grid,
+    zero-padding missing cells (reference util_vis.py:34-51 tb.num_images
+    grids)."""
+    assert images, "no images to tile"
+    H, W, C = images[0].shape
+    grid = np.zeros((rows * H, cols * W, C), np.float32)
+    for i, img in enumerate(images[:rows * cols]):
+        r, c = divmod(i, cols)
+        grid[r * H:(r + 1) * H, c * W:(c + 1) * W] = img
+    return grid
+
+
 def write_video(frame_dir, pattern, out_path, fps=30):
     """ffmpeg assembly; no-op with a warning when ffmpeg is unavailable."""
     if shutil.which("ffmpeg") is None:

@@ -103,3 +103,69 @@ def test_val_on_test_switches_split(tmp_path):
     trainer = Trainer(opt)
     trainer.load_dataset()
     assert len(trainer.test_data) == 3  # test split, not val
+
+
+def test_photometric_augmentation(tmp_path):
+    """Color-jitter/hflip augmentation (reference data/base.py:74-90):
+    train-split images change but stay in range/shape; val split untouched;
+    empty augment config is the identity."""
+    from neural_invertible_warp_tpu.data import blender
+    root = str(tmp_path)
+    synth_data.make_blender_scene(root, n_train=2, n_val=1, n_test=1,
+                                  img_size=24)
+    opt = synth_data.blender_opt(root, H=24, W=24)
+    base = blender.Dataset(opt, split="train").all_arrays(opt)
+
+    np.random.seed(0)
+    opt_aug = synth_data.blender_opt(root, H=24, W=24)
+    opt_aug.data.augment = DotDict(dict(brightness=0.5, contrast=0.5,
+                                        saturation=0.5, hue=0.2, hflip=True,
+                                        rotate=None))
+    ds = blender.Dataset(opt_aug, split="train")
+    assert ds.augment
+    aug_arrays = ds.all_arrays(opt_aug)
+    assert aug_arrays["image"].shape == base["image"].shape
+    assert aug_arrays["image"].min() >= 0.0
+    assert aug_arrays["image"].max() <= 1.0
+    assert not np.allclose(aug_arrays["image"], base["image"])
+    # val split never augments
+    ds_val = blender.Dataset(opt_aug, split="val")
+    assert not ds_val.augment
+
+    # deterministic identity when all jitter factors are neutral
+    aug = dict(jitter=dict(brightness=1.0, contrast=1.0, saturation=1.0,
+                           hue=0.0),
+               jitter_order=np.arange(4), flip=False, rot_angle=0.0)
+    import PIL.Image
+    img = PIL.Image.fromarray(
+        (np.random.RandomState(0).rand(24, 24, 3) * 255).astype(np.uint8))
+    out = ds.apply_augmentation(img, aug)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+def test_ckpt_backend_flag(tmp_path):
+    """ckpt.backend=orbax drives the orbax path via the dispatch API."""
+    from neural_invertible_warp_tpu.utils import ckpt as ckpt_util
+    state = dict(params=dict(w=np.arange(6, dtype=np.float32).reshape(2, 3)),
+                 step=np.int32(7))
+    ckpt_util.save(str(tmp_path), state, 7, backend="orbax")
+    ckpt_util.save(str(tmp_path), state, 9, backend="orbax")
+    assert ckpt_util.latest_orbax_iter(str(tmp_path)) == 9
+    restored, it = ckpt_util.restore(str(tmp_path), state, resume=True,
+                                     backend="orbax")
+    assert it == 9
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  state["params"]["w"])
+    # pickle remains the default
+    ckpt_util.save(str(tmp_path), state, 3)
+    restored, it = ckpt_util.restore(str(tmp_path), state)
+    assert it == 3
+
+
+def test_tile_images():
+    from neural_invertible_warp_tpu.utils.vis import tile_images
+    imgs = [np.full((4, 5, 3), i, np.float32) for i in range(3)]
+    grid = tile_images(imgs, 2, 2)
+    assert grid.shape == (8, 10, 3)
+    assert grid[0, 0, 0] == 0 and grid[0, 5, 0] == 1
+    assert grid[4, 0, 0] == 2 and grid[4, 5, 0] == 0  # padded cell
