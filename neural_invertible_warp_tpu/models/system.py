@@ -73,18 +73,33 @@ class NerfSystem:
         """Fused Pallas kernel: on by default on TPU for the reference arch
         (fp32 parity verified against the jnp path in tests/test_fused_field)."""
         if self._fused_field is None:
-            from ..ops.pallas import fused_field
-            enabled = (self.opt.get("tpu") or {}).get("fused_kernel", True)
+            from ..ops.pallas import fused_field, fused_pe
+            tpu_cfg = self.opt.get("tpu") or {}
             on_tpu = jax.devices()[0].platform not in ("cpu",)
-            self._fused_field = bool(
-                enabled and on_tpu and
-                fused_field.supports(self.arch, self.opt.nerf))
-            if self._fused_field:
-                log.info("using fused Pallas field kernel")
+            use_pe = bool(tpu_cfg.get("fused_pe", True) and on_tpu and
+                          fused_pe.supports(self.arch, self.opt.nerf))
+            use_field = bool(tpu_cfg.get("fused_kernel", True) and on_tpu and
+                             fused_field.supports(self.arch, self.opt.nerf))
+            # "pe" = PE+MLP fused (round-2 layout), "field" = MLP-only fused
+            self._fused_field = "pe" if use_pe else \
+                ("field" if use_field else "off")
+            if self._fused_field != "off":
+                log.info("using fused Pallas field kernel ({})".format(
+                    self._fused_field))
         return self._fused_field
 
     def apply_field_samples(self, field_params, center, ray, depth, **kwargs):
-        if self._use_fused_field():
+        mode = self._use_fused_field()
+        if mode == "pe":
+            K = depth.shape[2]
+            from ..ops.pallas import fused_pe
+            if fused_pe.supports(self.arch, self.opt.nerf, sample_intvs=K):
+                kwargs.pop("density_noise_reg", None)
+                kwargs.pop("noise_key", None)
+                return fused_pe.fused_apply_nerf_samples_pe(
+                    field_params, self.arch, center, ray, depth, **kwargs)
+            mode = "field"   # e.g. fine-sampling call with an odd K
+        if mode == "field":
             from ..ops.pallas import fused_field
             kwargs.pop("density_noise_reg", None)
             kwargs.pop("noise_key", None)
@@ -157,7 +172,7 @@ class NerfSystem:
         if opt.camera.ndc:
             assert intr is not None, "NDC conversion needs per-image intrinsics"
             center, ray = rays.convert_NDC(center, ray, intr)
-        if (self._use_fused_field() and not opt.nerf.fine_sampling
+        if (self._use_fused_field() != "off" and not opt.nerf.fine_sampling
                 and (opt.get("tpu") or {}).get("fused_raymarch", False)):
             # fully fused ray-march (PE+MLP+composite in one kernel). Exact
             # parity but measured SLOWER than the fused-field kernel on v5e

@@ -1,0 +1,334 @@
+"""Fused PE + NeRF field kernel, round-2 layout rework (NOTES_r1.md item 1).
+
+The round-1 fused field kernel (fused_field.py) still streams the positional
+encodings through HBM: [N,64] point PE + [N,32] view PE in, and their
+gradients back out — ~100 MB/step of pure glue at the bench workload. The
+round-1 full-fusion attempt (raymarch.py) moved PE in-kernel but built it
+from [n,1]-wide per-coordinate columns, which fragment in Mosaic (32 ms/step
+vs 17 ms).
+
+This kernel keeps PE in-kernel but expresses it on full 64/32-lane tiles:
+
+    pts @ F           one [n,3]@[3,64] MXU matmul against a constant
+                      frequency matrix F (identity columns for the raw
+                      coords, 2^k*pi scaled columns for the bands), then
+    xp = m_id*(pts@F) + w_sin*sin(pts@F) + w_cos*cos(pts@F)
+
+with [1,64] mask/weight rows (the BARF c2f schedule folds into w_sin/w_cos
+outside the kernel). Point construction folds into the same matmul:
+pts@F = center@F + (ray@F) * depth, so the kernel reads only [R,3] centers,
+[R,3] rays and [R,K] depths per block — the per-sample encodings never touch
+HBM in either direction. The view encoding is computed per RAY (not per
+sample) and broadcast, removing a 128x redundancy the XLA path pays.
+
+Backward recomputes the forward per block (VMEM-resident), reuses the MLP
+backward from fused_field, and reduces the PE cotangents over the sample
+axis to per-ray [R,3] center/ray gradients. Depth and the mask rows are
+non-differentiable inputs (stratified samples are detached by construction;
+the wrapper stop-gradients them).
+
+Replaces the reference hot loop model/nerf.py:449-474 (forward_samples) +
+positional_encoding (model/nerf.py:476-483).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fused_field as ff
+
+L3D = 10
+LVIEW = 4
+D_IN = ff.D_IN          # 64
+D_VIEW = ff.D_VIEW      # 32
+
+R_BLK = 2               # rays per grid step (n = R_BLK * K points)
+
+
+def set_ray_block(r_blk):
+    global R_BLK
+    R_BLK = int(r_blk)
+
+
+def _pe_constants(L, d_pad):
+    """Constant F [3,d_pad] + id/sin/cos column masks [1,d_pad] for the
+    ops.posenc.positional_encoding_c2f layout: [x, per-dim (sin f0..fL-1,
+    cos f0..fL-1)]."""
+    F = np.zeros((3, d_pad), np.float32)
+    m_id = np.zeros((1, d_pad), np.float32)
+    sin_sel = np.zeros((1, d_pad), np.float32)
+    cos_sel = np.zeros((1, d_pad), np.float32)
+    band = np.zeros(d_pad, np.int32)     # frequency index per column
+    for c in range(3):
+        F[c, c] = 1.0
+        m_id[0, c] = 1.0
+    for d in range(3):
+        for e in range(2 * L):
+            j = 3 + d * 2 * L + e
+            k = e % L
+            # match ops/posenc.py exactly: f32(2^k) * f32(pi) — rounding the
+            # f64 product instead is 1 ulp off at high bands
+            F[d, j] = np.float32(2.0 ** k) * np.float32(np.pi)
+            band[j] = k
+            if e < L:
+                sin_sel[0, j] = 1.0
+            else:
+                cos_sel[0, j] = 1.0
+    return F, m_id, sin_sel, cos_sel, band
+
+
+_F3D, _MID3D, _SIN3D, _COS3D, _BAND3D = _pe_constants(L3D, D_IN)
+_FV, _MIDV, _SINV, _COSV, _BANDV = _pe_constants(LVIEW, D_VIEW)
+
+
+def pe_mask_rows(progress, c2f, dtype=jnp.float32):
+    """(w_sin3d, w_cos3d, w_sinv, w_cosv) [1,64]/[1,32] rows with the BARF
+    c2f weights folded in (ops/posenc.py::barf_c2f_weights)."""
+    from .. import posenc as posenc_ops
+
+    def rows(sin_sel, cos_sel, band, L):
+        if c2f is None:
+            return jnp.asarray(sin_sel), jnp.asarray(cos_sel)
+        w = posenc_ops.barf_c2f_weights(progress, L, c2f, dtype=dtype)  # [L]
+        wcol = w[band][None]                                  # [1,d_pad]
+        return jnp.asarray(sin_sel) * wcol, jnp.asarray(cos_sel) * wcol
+
+    ws3, wc3 = rows(_SIN3D, _COS3D, _BAND3D, L3D)
+    wsv, wcv = rows(_SINV, _COSV, _BANDV, LVIEW)
+    return ws3, wc3, wsv, wcv
+
+
+def _encode_block(center, ray, depth, mid3, ws3, wc3, midv, wsv, wcv,
+                  F3, Fv):
+    """One block's (xp [n,64], vi [n,32]) plus residuals for backward.
+
+    pts are built explicitly ([n,3], two narrow ops) and THEN projected by
+    one [n,3]@[3,64] matmul: the one-hot F columns make each output a single
+    fp32 product, so interpret-mode values match the jnp reference exactly
+    (the algebraically-equal cF + rF*d form reassociates the rounding at
+    high frequencies, ~5e-4 relative)."""
+    R, K = depth.shape
+    n = R * K
+    c3 = jnp.broadcast_to(center[:, None, :], (R, K, 3)).reshape(n, 3)
+    r3 = jnp.broadcast_to(ray[:, None, :], (R, K, 3)).reshape(n, 3)
+    d3 = jnp.broadcast_to(depth[:, :, None], (R, K, 3)).reshape(n, 3)
+    pts = c3 + r3 * d3                                        # [n,3]
+    xp_pre = ff._dot(pts, F3)                                 # [n,64]
+    xp = mid3 * xp_pre + ws3 * jnp.sin(xp_pre) + wc3 * jnp.cos(xp_pre)
+
+    # per-ray view encoding (reference: ray_unit = ray / clip(|ray|, 1e-12));
+    # divide (not reciprocal-multiply) for bit parity with the jnp path
+    norm = jnp.sqrt(jnp.sum(ray * ray, axis=1, keepdims=True))
+    inv = 1.0 / jnp.maximum(norm, 1e-12)
+    ru = ray / jnp.maximum(norm, 1e-12)                       # [R,3]
+    vF = ff._dot(ru, Fv)                                      # [R,32]
+    vi_r = midv * vF + wsv * jnp.sin(vF) + wcv * jnp.cos(vF)  # [R,32]
+    vi = jnp.broadcast_to(vi_r[:, None, :], (R, K, D_VIEW)).reshape(n, D_VIEW)
+    return xp, vi, (xp_pre, d3, vF, ru, inv)
+
+
+def _fwd_pe_kernel(center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
+                   wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref, Fv_ref,
+                   *wrefs):
+    out_ref = wrefs[-1]
+    w = {name: wrefs[i][:] for i, name in enumerate(ff._ORDER)}
+    xp, vi, _ = _encode_block(center_ref[:], ray_ref[:], depth_ref[:],
+                              mid3_ref[:], ws3_ref[:], wc3_ref[:],
+                              midv_ref[:], wsv_ref[:], wcv_ref[:],
+                              F3_ref[:], Fv_ref[:])
+    out, _ = ff._forward_block(xp, vi, w)
+    out_ref[:] = out
+
+
+def _bwd_pe_kernel(center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
+                   wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref, Fv_ref,
+                   g_ref, *refs):
+    w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
+    n_w = len(ff._ORDER)
+    dcenter_ref, dray_ref = refs[n_w], refs[n_w + 1]
+    dw_refs = {name: refs[n_w + 2 + i] for i, name in enumerate(ff._ORDER)}
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for name in ff._ORDER:
+            dw_refs[name][:] = jnp.zeros_like(dw_refs[name])
+
+    def accumulate(name, value):
+        dw_refs[name][:] += value
+
+    center, ray, depth = center_ref[:], ray_ref[:], depth_ref[:]
+    mid3, ws3, wc3 = mid3_ref[:], ws3_ref[:], wc3_ref[:]
+    midv, wsv, wcv = midv_ref[:], wsv_ref[:], wcv_ref[:]
+    F3, Fv = F3_ref[:], Fv_ref[:]
+    xp, vi, res = _encode_block(center, ray, depth, mid3, ws3, wc3,
+                                midv, wsv, wcv, F3, Fv)
+    xp_pre, d3, vF, ru, inv = res
+    R, K = depth.shape
+
+    dxp, dview = ff._mlp_backward(xp, vi, w, g_ref[:], accumulate)
+
+    # PE backward: xp = m_id*pre + w_sin*sin(pre) + w_cos*cos(pre)
+    dxp_pre = (mid3 + ws3 * jnp.cos(xp_pre) - wc3 * jnp.sin(xp_pre)) * dxp
+    dpts = ff._dot_nt(dxp_pre, F3)                            # [n,3]
+    dcenter = jnp.sum(dpts.reshape(R, K, 3), axis=1)          # [R,3]
+    dray = jnp.sum((dpts * d3).reshape(R, K, 3), axis=1)
+
+    # view backward (per-ray): vi_r = m*vF + ws*sin(vF) + wc*cos(vF)
+    dvi_r = jnp.sum(dview.reshape(R, K, D_VIEW), axis=1)      # [R,32]
+    dvF = (midv + wsv * jnp.cos(vF) - wcv * jnp.sin(vF)) * dvi_r
+    dru = ff._dot_nt(dvF, Fv)                                 # [R,3]
+    # ru = ray * inv, inv = 1/max(|ray|, 1e-12)
+    dray = dray + dru * inv \
+        - ru * (jnp.sum(dru * ru, axis=1, keepdims=True) * inv)
+
+    dcenter_ref[:] = dcenter
+    dray_ref[:] = dray
+
+
+def _ray_spec(width, r_blk):
+    return pl.BlockSpec((r_blk, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _row_spec(width):
+    return pl.BlockSpec((1, width), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _w_specs():
+    return [ff._full_spec(ff._WEIGHT_SHAPES.get(k) or ff._BIAS_SHAPES[k])
+            for k in ff._ORDER]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_mlp_pe(center, ray, depth, interpret, masks, weights):
+    """Fused PE + field MLP.
+
+    center/ray: [R,3]; depth: [R,K]; masks: (ws3 [1,64], wc3 [1,64],
+    wsv [1,32], wcv [1,32]) — non-differentiable; weights: fused_field
+    padded dict. Returns [R*K, 4] (rgb sigmoid, density softplus), sample
+    index = r*K + k. R must be a multiple of the ray block.
+    """
+    out, _ = _fused_pe_fwd(center, ray, depth, interpret, masks, weights)
+    return out
+
+
+def _fused_pe_fwd(center, ray, depth, interpret, masks, weights):
+    R, K = depth.shape
+    assert R % R_BLK == 0, (R, R_BLK)
+    grid = (R // R_BLK,)
+    ws3, wc3, wsv, wcv = masks
+    w_list = [weights[k] for k in ff._ORDER]
+    out = pl.pallas_call(
+        _fwd_pe_kernel,
+        grid=grid,
+        in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
+                  _ray_spec(K, R_BLK),
+                  _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
+                  _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
+                  ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW))] +
+                 _w_specs(),
+        out_specs=pl.BlockSpec((R_BLK * K, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R * K, 4), jnp.float32),
+        interpret=interpret,
+    )(center, ray, depth, jnp.asarray(_MID3D), ws3, wc3,
+      jnp.asarray(_MIDV), wsv, wcv,
+      jnp.asarray(_F3D), jnp.asarray(_FV), *w_list)
+    return out, (center, ray, depth, masks, weights)
+
+
+def _fused_pe_bwd(interpret, res, g):
+    center, ray, depth, masks, weights = res
+    R, K = depth.shape
+    grid = (R // R_BLK,)
+    ws3, wc3, wsv, wcv = masks
+    w_list = [weights[k] for k in ff._ORDER]
+    out_shapes = (
+        [jax.ShapeDtypeStruct((R, 3), jnp.float32),
+         jax.ShapeDtypeStruct((R, 3), jnp.float32)] +
+        [jax.ShapeDtypeStruct(ff._WEIGHT_SHAPES.get(k) or ff._BIAS_SHAPES[k],
+                              jnp.float32) for k in ff._ORDER])
+    out_specs = ([_ray_spec(3, R_BLK), _ray_spec(3, R_BLK)] + _w_specs())
+    outs = pl.pallas_call(
+        _bwd_pe_kernel,
+        grid=grid,
+        in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
+                  _ray_spec(K, R_BLK),
+                  _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
+                  _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
+                  ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
+                  pl.BlockSpec((R_BLK * K, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + _w_specs(),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(center, ray, depth, jnp.asarray(_MID3D), ws3, wc3,
+      jnp.asarray(_MIDV), wsv, wcv,
+      jnp.asarray(_F3D), jnp.asarray(_FV), g, *w_list)
+    dcenter, dray = outs[0], outs[1]
+    dw = {k: outs[2 + i] for i, k in enumerate(ff._ORDER)}
+    zero_masks = tuple(jnp.zeros_like(m) for m in masks)
+    return dcenter, dray, jnp.zeros_like(depth), zero_masks, dw
+
+
+fused_mlp_pe.defvjp(_fused_pe_fwd, _fused_pe_bwd)
+
+
+# ---------------------------------------------------------------------------
+# drop-in wrapper (same contract as fused_field.fused_apply_nerf_samples)
+# ---------------------------------------------------------------------------
+
+def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
+                                view_dep=True, density_activ="softplus",
+                                progress=None, barf_c2f=None,
+                                density_noise_reg=None, noise_key=None,
+                                interpret=False):
+    """PE-fused drop-in for ops.nerf_mlp.apply_nerf_samples.
+
+    Requirements: the fused_field arch contract plus a sample count K that
+    is a multiple of 8 (lane-tiled reshapes); the paper config uses K=128.
+    """
+    assert density_activ == "softplus" and view_dep
+    if density_noise_reg:
+        raise NotImplementedError("density_noise_reg with fused PE kernel")
+    B, R_img = center.shape[0], center.shape[1]
+    K = depth.shape[2]
+    n_rays = B * R_img
+    c = center.reshape(n_rays, 3)
+    r = ray.reshape(n_rays, 3)
+    d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
+    pad = (-n_rays) % R_BLK
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
+        # unit-z pad rays: zero rays would hit the norm clamp, which is fine
+        # numerically but produces a degenerate view encoding — keep it clean
+        r = jnp.concatenate(
+            [r, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], r.dtype), (pad, 1))],
+            axis=0)
+        d = jnp.concatenate([d, jnp.ones((pad, K), d.dtype)], axis=0)
+    masks = tuple(jax.lax.stop_gradient(m)
+                  for m in pe_mask_rows(progress if progress is not None
+                                        else 1.0, barf_c2f))
+    out = fused_mlp_pe(c, r, d, interpret, masks,
+                       ff.pack_weights(params))
+    out = out[:n_rays * K]
+    rgb = out[:, :3].reshape(B, R_img, K, 3)
+    density = out[:, 3].reshape(B, R_img, K)
+    return rgb, density
+
+
+def supports(arch, opt_nerf, sample_intvs=None):
+    """Whether the PE-fused kernel covers this configuration."""
+    if not ff.supports(arch, opt_nerf):
+        return False
+    K = sample_intvs if sample_intvs is not None else opt_nerf.sample_intvs
+    return K % 8 == 0 and (R_BLK * K) % 8 == 0

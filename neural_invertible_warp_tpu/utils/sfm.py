@@ -281,6 +281,12 @@ def bundle_adjust(poses, points, obs_cam, obs_pt, obs_xy, fixed_cam=0,
     import optax
     from ..ops import lie, pose as pose_ops
 
+    # SfM init is one-shot host-side preprocessing: pin the (tiny) BA to the
+    # CPU backend so it never pays a multi-minute remote-TPU compile
+    cpu = jax.devices("cpu")[0]
+    device_ctx = jax.default_device(cpu)
+    device_ctx.__enter__()
+
     poses0 = jnp.asarray(poses, jnp.float32)
     params = dict(delta=jnp.zeros((poses.shape[0], 6), jnp.float32),
                   points=jnp.asarray(points, jnp.float32))
@@ -323,14 +329,24 @@ def bundle_adjust(poses, points, obs_cam, obs_pt, obs_xy, fixed_cam=0,
         params, _ = jax.lax.fori_loop(0, iters, body, (params, opt_state))
         return current_poses(params), params["points"], loss_fn(params)
 
-    new_poses, new_points, final_loss = run(params)
-    return (np.asarray(new_poses, np.float64),
-            np.asarray(new_points, np.float64), float(final_loss))
+    try:
+        new_poses, new_points, final_loss = run(params)
+        return (np.asarray(new_poses, np.float64),
+                np.asarray(new_points, np.float64), float(final_loss))
+    finally:
+        device_ctx.__exit__(None, None, None)
 
 
 # ---------------------------------------------------------------------------
 # incremental reconstruction
 # ---------------------------------------------------------------------------
+
+def _native():
+    """The C++ geometry core (native/sfm_core.cpp) when buildable/loadable;
+    None -> numpy fallbacks above. NIW_NO_NATIVE=1 forces numpy."""
+    from . import sfm_native
+    return sfm_native if sfm_native.available() else None
+
 
 def incremental_sfm(pair_matches, intrinsics, n_images, thresh_px=2.0,
                     min_track_len=2, ba_iters=300, seed=0, quant=1.0):
@@ -374,9 +390,15 @@ def incremental_sfm(pair_matches, intrinsics, n_images, thresh_px=2.0,
                           for img, xy in t.items()})
 
     # 2. seed pair: most RANSAC-verified inliers
+    nat = _native()
+    if nat is not None:
+        log.info("sfm: using native geometry core (libniw_sfm.so)")
+    ransac_e = nat.ransac_essential if nat else \
+        (lambda a, b, thresh, seed: ransac_essential(a, b, thresh=thresh,
+                                                     seed=seed))
     seed_pair, seed_E, seed_inl, best_n = None, None, None, 0
     for (i, j), (x1, x2) in norm.items():
-        E, inl = ransac_essential(x1, x2, thresh=max(th[i], th[j]), seed=seed)
+        E, inl = ransac_e(x1, x2, thresh=max(th[i], th[j]), seed=seed)
         if E is not None and int(inl.sum()) > best_n:
             seed_pair, seed_E, seed_inl, best_n = (i, j), E, inl, int(inl.sum())
     if seed_pair is None:
@@ -385,7 +407,10 @@ def incremental_sfm(pair_matches, intrinsics, n_images, thresh_px=2.0,
                 [], list(range(n_images)))
     i0, j0 = seed_pair
     x1, x2 = norm[seed_pair]
-    P2, _ = pose_from_essential(seed_E, x1[seed_inl], x2[seed_inl])
+    if nat is not None:
+        P2, _ = nat.pose_from_essential(seed_E, x1[seed_inl], x2[seed_inl])
+    else:
+        P2, _ = pose_from_essential(seed_E, x1[seed_inl], x2[seed_inl])
     poses = {i0: np.eye(3, 4), j0: P2}
 
     # 3. triangulate every track observed in both seed views
@@ -412,7 +437,10 @@ def incremental_sfm(pair_matches, intrinsics, n_images, thresh_px=2.0,
         tids = [tid for tid in pts if cam in track_obs[tid]]
         X = np.stack([pts[t] for t in tids])
         x = np.stack([track_obs[t][cam] for t in tids])
-        P, inl = ransac_pnp(X, x, thresh=2 * th[cam], seed=seed)
+        if nat is not None:
+            P, inl = nat.ransac_pnp(X, x, thresh=2 * th[cam], seed=seed)
+        else:
+            P, inl = ransac_pnp(X, x, thresh=2 * th[cam], seed=seed)
         if P is None:
             break
         poses[cam] = P

@@ -232,9 +232,33 @@ def blob_params(seed=0, n_blobs=24, radius=1.1, center=(0.0, 0.0, 0.0),
                 a=a.astype(np.float32), c=c.astype(np.float32))
 
 
+def backdrop_params(point, normal, seed=0):
+    """A band-limited textured wall (plane) giving every pixel view-consistent
+    content — real LLFF frames are full-frame textured, and without this the
+    empty background lets joint pose+field optimization fall into the
+    'every camera its own region' degenerate gauge (EVIDENCE_r2 run B)."""
+    r = np.random.RandomState(seed)
+    n = np.asarray(normal, np.float64)
+    n = n / np.linalg.norm(n)
+    u = np.cross(n, [0.0, 1.0, 0.1])
+    u /= np.linalg.norm(u)
+    v = np.cross(n, u)
+    # low-frequency color field: 3 octaves, max ~4 rad/unit (band-limited)
+    freqs = np.stack([r.uniform(0.8, 4.0, (3, 2)) for _ in range(3)])  # [3,3,2]
+    phases = r.uniform(0, 2 * np.pi, (3, 3))
+    amps = np.array([0.25, 0.15, 0.08])
+    return dict(point=np.asarray(point, np.float32),
+                normal=n.astype(np.float32), u=u.astype(np.float32),
+                v=v.astype(np.float32), freqs=freqs.astype(np.float32),
+                phases=phases.astype(np.float32), amps=amps.astype(np.float32))
+
+
 def analytic_blob_render(pose_w2c, intr, H, W, blob, n_samples=192,
-                         depth_range=(2.0, 6.0), bgcolor=1.0):
-    """Render the blob field from w2c poses. Returns [B,H,W,3] numpy."""
+                         depth_range=(2.0, 6.0), bgcolor=1.0, backdrop=None):
+    """Render the blob field from w2c poses. Returns [B,H,W,3] numpy.
+
+    With ``backdrop`` (backdrop_params dict), rays that miss the blobs hit a
+    textured wall instead of the flat background color."""
     import jax
     import jax.numpy as jnp
     from neural_invertible_warp_tpu.ops import rays, render, sampling
@@ -260,7 +284,28 @@ def analytic_blob_render(pose_w2c, intr, H, W, blob, n_samples=192,
         wc = w_raw + 1e-8
         rgb = jnp.sum(wc[..., None] * c, axis=-2) / jnp.sum(wc, -1)[..., None]
         out_rgb, _, opac, _ = render.composite(ray, rgb, sigma, depth)
-        return out_rgb + bgcolor * (1 - opac)
+        if backdrop is None:
+            return out_rgb + bgcolor * (1 - opac)
+        # ray-plane intersection: x = center + t*ray with (x-p).n = 0
+        p = jnp.asarray(backdrop["point"])
+        nrm = jnp.asarray(backdrop["normal"])
+        uax = jnp.asarray(backdrop["u"])
+        vax = jnp.asarray(backdrop["v"])
+        denom = jnp.sum(ray * nrm, axis=-1)
+        t = jnp.sum((p - center) * nrm, axis=-1) / jnp.where(
+            jnp.abs(denom) < 1e-6, 1e-6, denom)
+        hit = center + t[..., None] * ray
+        uu = jnp.sum((hit - p) * uax, axis=-1)
+        vv = jnp.sum((hit - p) * vax, axis=-1)
+        col = 0.5 * jnp.ones(uu.shape + (3,))
+        for o in range(3):
+            f = jnp.asarray(backdrop["freqs"][o])       # [3,2]
+            ph = jnp.asarray(backdrop["phases"][o])     # [3]
+            amp = float(backdrop["amps"][o])
+            col = col + amp * jnp.sin(uu[..., None] * f[:, 0]
+                                      + vv[..., None] * f[:, 1] + ph)
+        col = jnp.clip(col, 0.02, 0.98)
+        return out_rgb + col * (1 - opac)
 
     pose_w2c = np.asarray(pose_w2c, np.float32)
     intr = np.asarray(intr, np.float32)
@@ -323,7 +368,7 @@ def make_wide_llff_scene(root, scene="blobfern", n_images=40,
 
 def make_blob_llff_scene(root, scene="blobfern", n_images=40,
                          img_size=(240, 320), seed=0, spread=0.5,
-                         n_blobs=24, val_ratio=0.1):
+                         n_blobs=24, val_ratio=0.1, backdrop=False):
     """LLFF-format blob scene rendered from the loader-parsed poses.
 
     The blob slab is placed in the PARSED world frame (after the loader's
@@ -355,11 +400,19 @@ def make_blob_llff_scene(root, scene="blobfern", n_images=40,
                        radius=0.9, axis_scale=(1.3, 1.0, 0.55),
                        s_range=(0.14, 0.32))
     near = max(0.3, dist - 1.6)
+    bd = None
+    if backdrop:
+        # wall 1.4 units behind the blob slab, facing the cameras
+        mean_look = look.mean(0)
+        mean_look /= np.linalg.norm(mean_look)
+        bd = backdrop_params(point=target + 1.4 * mean_look,
+                             normal=-mean_look, seed=seed + 23)
     for split in ("train", "val"):
         ds = llff_data.Dataset(opt, split=split)
         arr = ds.all_arrays(opt)
         imgs = analytic_blob_render(arr["pose"], arr["intr"], H, W, blob,
-                                    depth_range=(near, dist + 1.8))
+                                    depth_range=(near, dist + 1.8),
+                                    backdrop=bd)
         for i in range(len(ds)):
             fname = os.path.join(root, scene, "images", ds.list[i][0])
             imageio.imwrite(fname,

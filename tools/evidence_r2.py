@@ -139,21 +139,22 @@ def run_barf_blender(f, quick=False):
 
 # ---------------------------------------------------------------- runs B0/B
 
-def make_llff_blob_scene(quick):
+def make_llff_blob_scene(quick, backdrop=False):
     import synth_data
     size = (24, 32) if quick else (240, 320)
     n_images = 5 if quick else 40
-    root = os.path.join(SCENE_ROOT, "llff")
+    sub = "llff_backdrop" if backdrop else "llff"
+    root = os.path.join(SCENE_ROOT, sub)
     scene_dir = os.path.join(root, "blobfern")
     if not os.path.isdir(scene_dir):
         synth_data.make_blob_llff_scene(root, n_images=n_images, img_size=size,
-                                        n_blobs=24,
+                                        n_blobs=24, backdrop=backdrop,
                                         val_ratio=0.25 if quick else 0.1)
     return root, size, n_images
 
 
-def run_llff_control(f, quick=False):
-    root, size, _ = make_llff_blob_scene(quick)
+def run_llff_control(f, quick=False, backdrop=False):
+    root, size, _ = make_llff_blob_scene(quick, backdrop=backdrop)
     iters = 200 if quick else 50000
     opt = build("nerf_llff", [
         "--model=nerf", "--yaml=nerf_llff",
@@ -162,7 +163,8 @@ def run_llff_control(f, quick=False):
         "--data.val_ratio={}".format(0.25 if quick else 0.1),
         "--max_iter={}".format(iters),
         "--freq.scalar=1000000", "--freq.val=1000000", "--freq.ckpt=1000000",
-        "--output_root={}".format(OUT_ROOT), "--group=r2", "--name=nerf_control",
+        "--output_root={}".format(OUT_ROOT), "--group=r2",
+        "--name=nerf_control{}".format("_bd" if backdrop else ""),
         "--seed=0",
     ] + (["--nerf.sample_intvs=32", "--nerf.rand_rays=512"] if quick else []))
     trainer = make_trainer(opt)
@@ -172,17 +174,20 @@ def run_llff_control(f, quick=False):
                                 pose_errors=False)
     trainer.state = state
     val = system.validate(state)
-    f.write("## Run B0 — `nerf` control at known GT poses (blob-LLFF)\n\n")
-    f.write("Same blob LLFF scene as run B, GT poses, {} iterations.\n\n"
-            .format(iters))
+    f.write("## Run B0{} — `nerf` control at known GT poses (blob{}-LLFF)"
+            "\n\n".format("b" if backdrop else "",
+                          "+backdrop" if backdrop else ""))
+    f.write("Same {} LLFF scene as run {}, GT poses, {} iterations.\n\n"
+            .format("blob+backdrop" if backdrop else "blob",
+                    "B3" if backdrop else "B", iters))
     f.write(fmt_history(history))
     f.write("\nHeld-out validation PSNR at GT poses: {:.2f} dB\n\n"
             .format(val["psnr_val"]))
     return dict(psnr_val=val["psnr_val"])
 
 
-def run_inn_llff(f, quick=False, control_psnr=None):
-    root, size, _ = make_llff_blob_scene(quick)
+def run_inn_llff(f, quick=False, control_psnr=None, backdrop=False):
+    root, size, _ = make_llff_blob_scene(quick, backdrop=backdrop)
     iters = 200 if quick else 200000
     opt = build("barf_inn_llff", [
         "--model=barf_inn_llff", "--yaml=barf_inn_llff",
@@ -194,7 +199,8 @@ def run_inn_llff(f, quick=False, control_psnr=None):
         "--loss_weight.global_alignment=4",
         "--max_iter={}".format(iters),
         "--freq.scalar=1000000", "--freq.val=1000000", "--freq.ckpt=1000000",
-        "--output_root={}".format(OUT_ROOT), "--group=r2", "--name=inn_llff",
+        "--output_root={}".format(OUT_ROOT), "--group=r2",
+        "--name=inn_llff{}".format("_bd" if backdrop else ""),
         "--seed=0",
     ] + (["--nerf.sample_intvs=32", "--nerf.rand_rays=512",
           "--inn.real_nvp.d_hidden=32", "--warp_latent.embed_dim=16"]
@@ -208,11 +214,14 @@ def run_inn_llff(f, quick=False, control_psnr=None):
                                 log_every=50 if quick else 5000)
     trainer.state = state
     val = system.validate(state)
-    f.write("## Run B — `barf_inn_llff` (paper model, identity init) on blob-LLFF\n\n")
-    f.write("Wide forward-facing blob LLFF scene ({}x{}, 36 train / 4 val), "
+    name = "B3" if backdrop else "B"
+    scene_desc = "blob+backdrop (full-frame textured)" if backdrop else "blob"
+    f.write("## Run {} — `barf_inn_llff` (paper model, identity init) on "
+            "{}-LLFF\n\n".format(name, scene_desc))
+    f.write("Wide forward-facing {} LLFF scene ({}x{}, 36 train / 4 val), "
             "identity pose init, full INN warp, SVD global-alignment weight "
-            "1e4, c2f [0.1,0.5], {} iterations.\n\n".format(size[0], size[1],
-                                                            iters))
+            "1e4, c2f [0.1,0.5], {} iterations.\n\n".format(
+                scene_desc, size[0], size[1], iters))
     f.write("Initial pose error (identity init): rot {rot:.3f} deg, trans "
             "{trans:.4f}\n\n".format(**err0))
     f.write(fmt_history(history))
@@ -316,14 +325,19 @@ def main():
         for name, fn in (("A", run_barf_blender),
                          ("B0", run_llff_control),
                          ("B", run_inn_llff),
-                         ("B2", run_inn_blender_noisy)):
+                         ("B2", run_inn_blender_noisy),
+                         ("B0b", run_llff_control),
+                         ("B3", run_inn_llff)):
             if name not in runs:
                 continue
             try:
-                kw = {"control_psnr": control["psnr_val"]} \
-                    if (name == "B" and control) else {}
+                kw = {}
+                if name in ("B0b", "B3"):
+                    kw["backdrop"] = True
+                if name in ("B", "B3") and control:
+                    kw["control_psnr"] = control["psnr_val"]
                 res = fn(f, quick=args.quick, **kw)
-                if name == "B0":
+                if name in ("B0", "B0b"):
                     control = res
             except Exception:
                 f.write("## Run {} FAILED\n\n```\n{}\n```\n\n".format(
