@@ -47,10 +47,29 @@ def peak_tflops(device_kind):
     return PEAK_TFLOPS_BF16["TPU v5 lite"]
 
 
+def fused_kernel_flops_per_step(system):
+    """Analytic FLOPs of the fused Pallas field kernel per train step —
+    XLA's cost analysis cannot see inside pallas_call, so the kernel's
+    matmul work (the vast majority of the step's FLOPs) must be counted
+    here: fwd once + bwd (recompute + 2 matmuls/layer) ~ 4x fwd."""
+    if system._use_fused_field() == "off":
+        return 0.0
+    opt = system.opt
+    n_rays = (opt.nerf.rand_rays // N_IMAGES) * N_IMAGES
+    n_pts = n_rays * opt.nerf.sample_intvs
+    # padded kernel dims (ops/pallas/fused_field.py): trunk 64->256 x8 with
+    # 320-wide skip, 384-wide density layer, 288->128->128 rgb head
+    per_point = 2 * (64 * 256 + 3 * 256 * 256 + 320 * 256 + 2 * 256 * 256
+                     + 256 * 384 + 288 * 128 + 128 * 128)
+    return 4.0 * n_pts * per_point
+
+
 def compiled_flops_per_step(system, state, keys):
-    """XLA cost analysis of the jitted multi-step program -> FLOPs/step.
-    Falls back to an analytic MLP count if cost_analysis is unsupported."""
+    """FLOPs/step = XLA cost analysis of the compiled step (covers the
+    non-kernel glue: INN warp, sampling, compositing, Kabsch, optimizer)
+    + the analytic fused-kernel count above."""
     import jax
+    kernel = fused_kernel_flops_per_step(system)
     try:
         fn = system._train_scan_jit   # built by train_multi_step
         cost = fn.lower(state, system.train_data, keys).compile() \
@@ -59,11 +78,12 @@ def compiled_flops_per_step(system, state, keys):
             cost = cost[0]
         flops = float(cost["flops"])
         if flops > 0:
-            return flops / keys.shape[0], "xla_cost_analysis"
+            src = "xla_cost_analysis+fused_kernel_analytic" if kernel \
+                else "xla_cost_analysis"
+            return flops / keys.shape[0] + kernel, src
     except Exception as e:   # pragma: no cover - backend-dependent
         print("cost_analysis unavailable: {}".format(e), file=sys.stderr)
-    # analytic fallback: dense layers of the NeRF MLP + INN over the points
-    # actually touched per step (forward + ~2x for backward)
+    # full-analytic fallback
     opt = system.opt
     n_rays = (opt.nerf.rand_rays // N_IMAGES) * N_IMAGES
     n_samples = opt.nerf.sample_intvs

@@ -48,7 +48,10 @@ LVIEW = 4
 D_IN = ff.D_IN          # 64
 D_VIEW = ff.D_VIEW      # 32
 
-R_BLK = 2               # rays per grid step (n = R_BLK * K points)
+R_BLK = 8               # rays per grid step (n = R_BLK * K points);
+                        # Mosaic requires sublane block dims divisible by 8
+MLP_SUB = 256           # backward recompute sub-chunk (VMEM: the 8-layer
+                        # activation cache must not hold n=1024 points)
 
 
 def set_ray_block(r_blk):
@@ -173,7 +176,19 @@ def _bwd_pe_kernel(center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
     xp_pre, d3, vF, ru, inv = res
     R, K = depth.shape
 
-    dxp, dview = ff._mlp_backward(xp, vi, w, g_ref[:], accumulate)
+    # MLP backward in sub-chunks: the per-layer activation cache for the
+    # full n = R*K block would not fit VMEM
+    n = R * K
+    g = g_ref[:]
+    sub = min(MLP_SUB, n)
+    dxp_parts, dview_parts = [], []
+    for s0 in range(0, n, sub):
+        dxp_s, dview_s = ff._mlp_backward(xp[s0:s0 + sub], vi[s0:s0 + sub],
+                                          w, g[s0:s0 + sub], accumulate)
+        dxp_parts.append(dxp_s)
+        dview_parts.append(dview_s)
+    dxp = jnp.concatenate(dxp_parts, axis=0)
+    dview = jnp.concatenate(dview_parts, axis=0)
 
     # PE backward: xp = m_id*pre + w_sin*sin(pre) + w_cos*cos(pre)
     dxp_pre = (mid3 + ws3 * jnp.cos(xp_pre) - wc3 * jnp.sin(xp_pre)) * dxp
