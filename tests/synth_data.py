@@ -368,7 +368,8 @@ def make_wide_llff_scene(root, scene="blobfern", n_images=40,
 
 def make_blob_llff_scene(root, scene="blobfern", n_images=40,
                          img_size=(240, 320), seed=0, spread=0.5,
-                         n_blobs=24, val_ratio=0.1, backdrop=False):
+                         n_blobs=24, val_ratio=0.1, backdrop=False,
+                         dense=False):
     """LLFF-format blob scene rendered from the loader-parsed poses.
 
     The blob slab is placed in the PARSED world frame (after the loader's
@@ -396,9 +397,19 @@ def make_blob_llff_scene(root, scene="blobfern", n_images=40,
     b = np.einsum("bij,bj->i", P, centers)
     target = np.linalg.solve(A, b)
     dist = float(np.mean(np.linalg.norm(target - centers, axis=-1)))
-    blob = blob_params(seed=seed + 11, n_blobs=n_blobs, center=tuple(target),
-                       radius=0.9, axis_scale=(1.3, 1.0, 0.55),
-                       s_range=(0.14, 0.32))
+    if dense:
+        # full-frame 3D structure at many depths: a thick frustum-filling
+        # blob cloud — breaks both the empty-space memorization gauge AND
+        # the planar (homography) ambiguity a backdrop wall alone has
+        blob = blob_params(seed=seed + 11, n_blobs=n_blobs,
+                           center=tuple(target),
+                           radius=1.25, axis_scale=(1.7, 1.3, 0.9),
+                           s_range=(0.10, 0.26))
+    else:
+        blob = blob_params(seed=seed + 11, n_blobs=n_blobs,
+                           center=tuple(target),
+                           radius=0.9, axis_scale=(1.3, 1.0, 0.55),
+                           s_range=(0.14, 0.32))
     near = max(0.3, dist - 1.6)
     bd = None
     if backdrop:

@@ -47,6 +47,27 @@ def make_trainer(opt):
     return trainer
 
 
+def relative_pose_error(system, state, n_pairs=200, seed=0):
+    """Gauge-invariant pose metric: mean relative-rotation error over random
+    camera pairs (deg). The absolute (Procrustes-aligned) error is
+    meaningless while the predicted camera centers are still collapsed at
+    the identity init — the sim3 rotation fit to a degenerate center cloud
+    is noise."""
+    pose_pred, pose_GT = system.get_all_training_poses(state)
+    if pose_pred is None:
+        return float("nan")
+    rng = np.random.RandomState(seed)
+    B = pose_pred.shape[0]
+    errs = []
+    for _ in range(n_pairs):
+        i, j = rng.choice(B, 2, replace=False)
+        R_rel = pose_pred[i, :, :3] @ pose_pred[j, :, :3].T
+        R_rel_gt = pose_GT[i, :, :3] @ pose_GT[j, :, :3].T
+        cos = (np.trace(R_rel @ R_rel_gt.T) - 1) / 2
+        errs.append(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+    return float(np.mean(errs))
+
+
 def train_loop(system, state, iters, spc=100, log_every=5000, pose_errors=True):
     """Scan-batched training with periodic pose-error probes."""
     import jax
@@ -70,6 +91,7 @@ def train_loop(system, state, iters, spc=100, log_every=5000, pose_errors=True):
                 R, t = system.evaluate_camera_alignment(state)
                 row["err_R_deg"] = float(np.rad2deg(np.mean(R)))
                 row["err_t"] = float(np.mean(t))
+                row["err_R_rel"] = relative_pose_error(system, state)
             history.append(row)
             print(row, flush=True)
     return state, history
