@@ -169,8 +169,12 @@ def make_llff_blob_scene(quick, backdrop=False):
     root = os.path.join(SCENE_ROOT, sub)
     scene_dir = os.path.join(root, "blobfern")
     if not os.path.isdir(scene_dir):
+        # backdrop variant is also DENSE (full-frame 3D structure at many
+        # depths): kills both the empty-space memorization gauge and the
+        # planar homography ambiguity
         synth_data.make_blob_llff_scene(root, n_images=n_images, img_size=size,
-                                        n_blobs=24, backdrop=backdrop,
+                                        n_blobs=200 if backdrop else 24,
+                                        backdrop=backdrop, dense=backdrop,
                                         val_ratio=0.25 if quick else 0.1)
     return root, size, n_images
 

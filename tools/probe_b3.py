@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--size", default="240,320")
     ap.add_argument("--n-images", type=int, default=40)
     ap.add_argument("--n-blobs", type=int, default=24)
+    ap.add_argument("--spread", type=float, default=0.5)
     ap.add_argument("--dense", action="store_true")
     ap.add_argument("--overrides", default="",
                     help="comma-separated extra --k=v config overrides")
@@ -40,7 +41,7 @@ def main():
         synth_data.make_blob_llff_scene(
             args.scene_root, n_images=args.n_images, img_size=(H, W),
             n_blobs=args.n_blobs, val_ratio=0.1, backdrop=True,
-            dense=args.dense)
+            spread=args.spread, dense=args.dense)
         print("scene built", flush=True)
 
     overrides = [o for o in args.overrides.split(",") if o]
