@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--n-blobs", type=int, default=24)
     ap.add_argument("--spread", type=float, default=0.5)
     ap.add_argument("--dense", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--overrides", default="",
                     help="comma-separated extra --k=v config overrides")
     args = ap.parse_args()
@@ -56,7 +57,7 @@ def main():
         "--max_iter=200000",
         "--freq.scalar=1000000", "--freq.val=1000000", "--freq.ckpt=1000000",
         "--output_root=/tmp/probe_b3_out", "--group=r2", "--name=probe",
-        "--seed=0",
+        "--seed={}".format(args.seed),
     ] + overrides)
     trainer = evidence_r2.make_trainer(opt)
     system, state = trainer.system, trainer.state
