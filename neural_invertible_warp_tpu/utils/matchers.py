@@ -182,3 +182,65 @@ def pdcnet(*_args, **_kwargs):
         "PDC-Net weights are not bundled in this environment (no egress); "
         "use ZnccMatcher (weight-free) or provide your own matcher callable "
         "(reference utils/colmap_initialization/pdcnet_for_hloc.py)")
+
+
+# ---------------------------------------------------------------------------
+# pair selection (reference data/data_utils.py:248-330): instead of matching
+# all O(N^2) exhaustive pairs, match each view only against its nearest
+# neighbors by pose — the reference uses this to bound the colmap-init cost
+# ---------------------------------------------------------------------------
+
+def angular_dist_rot(R1, R2):
+    """Angle (rad) between rotation matrices, batched [N,3,3]."""
+    tr = np.trace(np.matmul(np.swapaxes(R2, -1, -2), R1),
+                  axis1=-2, axis2=-1)
+    return np.arccos(np.clip((tr - 1) / 2.0, -1 + 1e-8, 1 - 1e-8))
+
+
+def get_nearest_pose_ids(tar_pose_c2w, ref_poses_c2w, num_select, tar_id=-1,
+                         angular_dist_method="vector",
+                         scene_center=(0, 0, 0), rng=None):
+    """Nearest reference views to a target pose
+    (reference data/data_utils.py:267-330).
+
+    angular_dist_method: 'matrix' (rotation distance), 'vector' (angle
+    between camera-center vectors from scene_center), 'dist' (center
+    distance), 'random'.
+    """
+    tar = np.asarray(tar_pose_c2w, np.float64)
+    refs = np.asarray(ref_poses_c2w, np.float64)
+    n = len(refs)
+    num_select = min(num_select, n - 1 if tar_id > 0 else n)
+    if angular_dist_method == "matrix":
+        dists = angular_dist_rot(np.tile(tar[None, :3, :3], (n, 1, 1)),
+                                 refs[:, :3, :3])
+    elif angular_dist_method == "vector":
+        c = np.asarray(scene_center, np.float64)[None]
+        a = tar[None, :3, 3] - c
+        b = refs[:, :3, 3] - c
+        a = a / (np.linalg.norm(a, axis=1, keepdims=True) + 1e-8)
+        b = b / (np.linalg.norm(b, axis=1, keepdims=True) + 1e-8)
+        dists = np.arccos(np.clip(np.sum(a * b, axis=-1), -1.0, 1.0))
+    elif angular_dist_method == "dist":
+        dists = np.linalg.norm(tar[None, :3, 3] - refs[:, :3, 3], axis=1)
+    elif angular_dist_method == "random":
+        dists = (rng or np.random).rand(n)
+    else:
+        raise ValueError("unknown angular distance method: {}".format(
+            angular_dist_method))
+    if tar_id >= 0:
+        dists[tar_id] = 1e3
+    return np.argsort(dists)[:num_select]
+
+
+def nearest_pose_pairs(poses_c2w, num_neighbors, **kwargs):
+    """(i, j) pairs (i < j) linking each view to its pose-nearest neighbors —
+    the sparse alternative to exhaustive_pairs for SfM matching."""
+    poses_c2w = np.asarray(poses_c2w)
+    pairs = set()
+    for i in range(len(poses_c2w)):
+        ids = get_nearest_pose_ids(poses_c2w[i], poses_c2w, num_neighbors,
+                                   tar_id=i, **kwargs)
+        for j in ids:
+            pairs.add((min(i, int(j)), max(i, int(j))))
+    return sorted(pairs)

@@ -257,3 +257,42 @@ def test_barf_dtu_colmap_init_end_to_end(tmp_path, dtu_root):
     # and one train step runs
     state, metrics = system.train_step(state, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss_all"]))
+
+
+def test_nearest_pose_selection():
+    """Nearest-pose pair selection (reference data/data_utils.py:267-330)."""
+    poses, intr, pts, H, W = make_rig(8, seed=6)
+    # c2w poses for the selector
+    c2w = np.zeros_like(poses)
+    c2w[:, :, :3] = np.swapaxes(poses[:, :, :3], 1, 2)
+    c2w[:, :, 3] = -np.einsum("bji,bj->bi", poses[:, :, :3], poses[:, :, 3])
+    ids = matchers.get_nearest_pose_ids(c2w[0], c2w, 2, tar_id=0,
+                                        angular_dist_method="vector")
+    # cameras sit on a ring: nearest by viewing angle are the two neighbors
+    assert set(int(i) for i in ids) == {1, 7}
+    ids_m = matchers.get_nearest_pose_ids(c2w[0], c2w, 2, tar_id=0,
+                                          angular_dist_method="matrix")
+    assert set(int(i) for i in ids_m) == {1, 7}
+    ids_d = matchers.get_nearest_pose_ids(c2w[0], c2w, 2, tar_id=0,
+                                          angular_dist_method="dist")
+    assert set(int(i) for i in ids_d) == {1, 7}
+    with pytest.raises(ValueError):
+        matchers.get_nearest_pose_ids(c2w[0], c2w, 2, angular_dist_method="?")
+
+    pairs = matchers.nearest_pose_pairs(c2w, 2)
+    assert all(i < j for i, j in pairs)
+    assert (0, 1) in pairs and (0, 7) in pairs
+    assert len(pairs) <= len(matchers.exhaustive_pairs(8))
+    # the sparse pair set still reconstructs the rig
+    m = matchers.SyntheticGTMatcher(poses, intr, pts, H, W, noise_px=0.3,
+                                    seed=7)
+    pair_matches = {}
+    for (i, j) in pairs:
+        a, b = m(i, j)
+        if len(a) >= 8:
+            pair_matches[(i, j)] = (a, b)
+    rec, valid, excluded = sfm.incremental_sfm(pair_matches, intr, 8)
+    assert excluded == []
+    aligned, _ = align.prealign_w2c_large_camera_systems(rec, poses)
+    R_err, _ = align._pose_errors_np(aligned, poses.astype(np.float32))
+    assert np.rad2deg(R_err.mean()) < 1.0
