@@ -172,20 +172,24 @@ class NerfSystem:
         if opt.camera.ndc:
             assert intr is not None, "NDC conversion needs per-image intrinsics"
             center, ray = rays.convert_NDC(center, ray, intr)
-        if (self._use_fused_field() != "off" and not opt.nerf.fine_sampling
+        if (self._use_fused_field() == "pe" and not opt.nerf.fine_sampling
                 and (opt.get("tpu") or {}).get("fused_raymarch", False)):
-            # fully fused ray-march (PE+MLP+composite in one kernel). Exact
-            # parity but measured SLOWER than the fused-field kernel on v5e
-            # (narrow-lane PE/composite ops fragment in Mosaic) — off by
-            # default, kept for further layout work (NOTES_r1.md).
-            from ..ops.pallas import raymarch
-            rgb, d, opac = raymarch.fused_render_rays(
-                params["nerf"], center, ray, depth,
-                progress=progress,
-                barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f") else None,
-                setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
-                bgcolor=opt.data.get("bgcolor"))
-            return dict(rgb=rgb, depth=d, opacity=opac)
+            # fully fused ray-march: PE + MLP + alpha compositing in one
+            # kernel on the fused_pe layout (round-2 rework of the round-1
+            # raymarch.py whose narrow-lane encode fragmented in Mosaic).
+            # Per-point weighted contributions [n,8] come out; the per-ray
+            # sum is one cheap XLA reduction.
+            from ..ops.pallas import fused_pe
+            if fused_pe.supports(self.arch, opt.nerf,
+                                 sample_intvs=depth.shape[2]):
+                rgb, d, opac = fused_pe.fused_render_rays_pe(
+                    params["nerf"], self.arch, center, ray, depth,
+                    progress=progress,
+                    barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f")
+                    else None,
+                    setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
+                    bgcolor=opt.data.get("bgcolor"))
+                return dict(rgb=rgb, depth=d, opacity=opac)
         common = dict(
             view_dep=opt.nerf.view_dep,
             density_activ=self.arch.get("density_activ", "softplus"),

@@ -347,3 +347,259 @@ def supports(arch, opt_nerf, sample_intvs=None):
         return False
     K = sample_intvs if sample_intvs is not None else opt_nerf.sample_intvs
     return K % 8 == 0 and (R_BLK * K) % 8 == 0
+
+
+# ---------------------------------------------------------------------------
+# fully-fused variant: + alpha compositing in-kernel (round-2 retry of
+# raymarch.py on the fused_pe layout — the per-sample field values never
+# reach HBM either; per-point weighted contributions [n,8] come out and the
+# per-ray sum is one cheap XLA reduction)
+# ---------------------------------------------------------------------------
+
+def _prefix_mat_blockdiag(rays_blk, K):
+    """[n,n] = I_R (x) strict_lower_K applied from the LEFT: (M @ s)[rK+i]
+    = sum_{j<i} s[rK+j]. Stays in the [n,1] point-major layout — Mosaic
+    cannot shape-cast between (R,K) lanes and (n,1) sublanes, and it has no
+    cumsum lowering either (and cumsum(s)-s would cancel catastrophically
+    against the sigma*1e10 last-interval term)."""
+    n = rays_blk * K
+    M = np.zeros((n, n), np.float32)
+    for r in range(rays_blk):
+        base = r * K
+        for i in range(1, K):
+            M[base + i, base:base + i] = 1.0
+    return M
+
+
+def _rm_fwd_pe_kernel(center_ref, ray_ref, depth_ref, d_col_ref, dist_ref,
+                      mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref,
+                      wcv_ref, F3_ref, Fv_ref, M_ref, *wrefs):
+    out_ref = wrefs[-1]
+    w = {name: wrefs[i][:] for i, name in enumerate(ff._ORDER)}
+    center, ray, depth = center_ref[:], ray_ref[:], depth_ref[:]
+    xp, vi, _ = _encode_block(center, ray, depth,
+                              mid3_ref[:], ws3_ref[:], wc3_ref[:],
+                              midv_ref[:], wsv_ref[:], wcv_ref[:],
+                              F3_ref[:], Fv_ref[:])
+    out4, _ = ff._forward_block(xp, vi, w)
+    rgb = out4[:, :3]
+    sigma = out4[:, 3:4]
+    dist = dist_ref[:]
+    d_col = d_col_ref[:]
+    s = sigma * dist
+    alpha = 1.0 - jnp.exp(-s)
+    prefix = ff._dot(M_ref[:], s)
+    wgt = jnp.exp(-prefix) * alpha                             # [n,1]
+    n = xp.shape[0]
+    out_ref[:] = jnp.concatenate(
+        [wgt * rgb, wgt * d_col, wgt,
+         jnp.zeros((n, 3), jnp.float32)], axis=-1)             # [n,8]
+
+
+def _rm_bwd_pe_kernel(center_ref, ray_ref, depth_ref, d_col_ref, dist_ref,
+                      mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref,
+                      wcv_ref, F3_ref, Fv_ref, M_ref, g_ref, *refs):
+    w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
+    n_w = len(ff._ORDER)
+    dcenter_ref, dray_ref, ddist_ref = refs[n_w], refs[n_w + 1], refs[n_w + 2]
+    dw_refs = {name: refs[n_w + 3 + i] for i, name in enumerate(ff._ORDER)}
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for name in ff._ORDER:
+            dw_refs[name][:] = jnp.zeros_like(dw_refs[name])
+
+    def accumulate(name, value):
+        dw_refs[name][:] += value
+
+    center, ray, depth = center_ref[:], ray_ref[:], depth_ref[:]
+    mid3, ws3, wc3 = mid3_ref[:], ws3_ref[:], wc3_ref[:]
+    midv, wsv, wcv = midv_ref[:], wsv_ref[:], wcv_ref[:]
+    F3, Fv = F3_ref[:], Fv_ref[:]
+    xp, vi, res = _encode_block(center, ray, depth, mid3, ws3, wc3,
+                                midv, wsv, wcv, F3, Fv)
+    xp_pre, d3, vF, ru, inv = res
+    R, K = depth.shape
+    n = R * K
+
+    out4, _ = ff._forward_block(xp, vi, w)
+    rgb = out4[:, :3]
+    sigma = out4[:, 3:4]
+    dist = dist_ref[:]
+    d_col = d_col_ref[:]
+    s = sigma * dist
+    alpha = 1.0 - jnp.exp(-s)
+    M = M_ref[:]
+    prefix = ff._dot(M, s)
+    T = jnp.exp(-prefix)
+    wgt = T * alpha
+
+    # composite backward (per-point cotangents g [n,8]; the outside per-ray
+    # sum broadcasts its cotangent to every sample row)
+    g_pt = g_ref[:]
+    gr, gd, go = g_pt[:, :3], g_pt[:, 3:4], g_pt[:, 4:5]
+    g_wgt = jnp.sum(gr * rgb, axis=-1, keepdims=True) + gd * d_col + go
+    g_rgb = wgt * gr
+    g_alpha = g_wgt * T
+    g_prefix = -(g_wgt * alpha) * T
+    g_s = g_alpha * jnp.exp(-s) + ff._dot_tn(M, g_prefix)
+    g_sigma = g_s * dist
+    ddist_ref[:] = g_s * sigma     # dist chain (-> ray length) in wrapper
+
+    g4 = jnp.concatenate([g_rgb, g_sigma], axis=-1)            # [n,4]
+    sub = min(MLP_SUB, n)
+    dxp_parts, dview_parts = [], []
+    for s0 in range(0, n, sub):
+        dxp_s, dview_s = ff._mlp_backward(xp[s0:s0 + sub], vi[s0:s0 + sub],
+                                          w, g4[s0:s0 + sub], accumulate)
+        dxp_parts.append(dxp_s)
+        dview_parts.append(dview_s)
+    dxp = jnp.concatenate(dxp_parts, axis=0)
+    dview = jnp.concatenate(dview_parts, axis=0)
+
+    dxp_pre = (mid3 + ws3 * jnp.cos(xp_pre) - wc3 * jnp.sin(xp_pre)) * dxp
+    dpts = ff._dot_nt(dxp_pre, F3)
+    dcenter = jnp.sum(dpts.reshape(R, K, 3), axis=1)
+    dray = jnp.sum((dpts * d3).reshape(R, K, 3), axis=1)
+
+    dvi_r = jnp.sum(dview.reshape(R, K, D_VIEW), axis=1)
+    dvF = (midv + wsv * jnp.cos(vF) - wcv * jnp.sin(vF)) * dvi_r
+    dru = ff._dot_nt(dvF, Fv)
+    dray = dray + dru * inv \
+        - ru * (jnp.sum(dru * ru, axis=1, keepdims=True) * inv)
+
+    dcenter_ref[:] = dcenter
+    dray_ref[:] = dray
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_mlp_pe_rm(center, ray, depth, d_col, dist, interpret, masks,
+                    weights):
+    """Fused PE + field MLP + alpha compositing.
+
+    center/ray: [R,3]; depth: [R,K] (pts construction, non-diff);
+    d_col/dist: [R*K,1] flattened depth + interval*||ray|| columns (dist IS
+    differentiable — the wrapper autodiffs the ||ray|| chain through the
+    returned ddist). Returns per-point WEIGHTED contributions [R*K,8] =
+    (wgt*rgb, wgt*depth, wgt, 0,0,0); the caller sums per ray over K.
+    """
+    out, _ = _fused_pe_rm_fwd(center, ray, depth, d_col, dist, interpret,
+                              masks, weights)
+    return out
+
+
+def _pt_spec(width, blk):
+    return pl.BlockSpec((blk, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fused_pe_rm_fwd(center, ray, depth, d_col, dist, interpret, masks,
+                     weights):
+    R, K = depth.shape
+    assert R % R_BLK == 0, (R, R_BLK)
+    grid = (R // R_BLK,)
+    blk = R_BLK * K
+    ws3, wc3, wsv, wcv = masks
+    w_list = [weights[k] for k in ff._ORDER]
+    out = pl.pallas_call(
+        _rm_fwd_pe_kernel,
+        grid=grid,
+        in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
+                  _ray_spec(K, R_BLK), _pt_spec(1, blk), _pt_spec(1, blk),
+                  _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
+                  _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
+                  ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
+                  ff._full_spec((blk, blk))] + _w_specs(),
+        out_specs=_pt_spec(8, blk),
+        out_shape=jax.ShapeDtypeStruct((R * K, 8), jnp.float32),
+        interpret=interpret,
+    )(center, ray, depth, d_col, dist, jnp.asarray(_MID3D), ws3, wc3,
+      jnp.asarray(_MIDV), wsv, wcv,
+      jnp.asarray(_F3D), jnp.asarray(_FV),
+      jnp.asarray(_prefix_mat_blockdiag(R_BLK, K)), *w_list)
+    return out, (center, ray, depth, d_col, dist, masks, weights)
+
+
+def _fused_pe_rm_bwd(interpret, res, g):
+    center, ray, depth, d_col, dist, masks, weights = res
+    R, K = depth.shape
+    grid = (R // R_BLK,)
+    blk = R_BLK * K
+    ws3, wc3, wsv, wcv = masks
+    w_list = [weights[k] for k in ff._ORDER]
+    out_shapes = (
+        [jax.ShapeDtypeStruct((R, 3), jnp.float32),
+         jax.ShapeDtypeStruct((R, 3), jnp.float32),
+         jax.ShapeDtypeStruct((R * K, 1), jnp.float32)] +
+        [jax.ShapeDtypeStruct(ff._WEIGHT_SHAPES.get(k) or ff._BIAS_SHAPES[k],
+                              jnp.float32) for k in ff._ORDER])
+    out_specs = ([_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
+                  _pt_spec(1, blk)] + _w_specs())
+    outs = pl.pallas_call(
+        _rm_bwd_pe_kernel,
+        grid=grid,
+        in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
+                  _ray_spec(K, R_BLK), _pt_spec(1, blk), _pt_spec(1, blk),
+                  _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
+                  _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
+                  ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
+                  ff._full_spec((blk, blk)),
+                  _pt_spec(8, blk)] + _w_specs(),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(center, ray, depth, d_col, dist, jnp.asarray(_MID3D), ws3, wc3,
+      jnp.asarray(_MIDV), wsv, wcv,
+      jnp.asarray(_F3D), jnp.asarray(_FV),
+      jnp.asarray(_prefix_mat_blockdiag(R_BLK, K)), g, *w_list)
+    dcenter, dray, ddist = outs[0], outs[1], outs[2]
+    dw = {k: outs[3 + i] for i, k in enumerate(ff._ORDER)}
+    zero_masks = tuple(jnp.zeros_like(m) for m in masks)
+    return (dcenter, dray, jnp.zeros_like(depth), jnp.zeros_like(d_col),
+            ddist, zero_masks, dw)
+
+
+fused_mlp_pe_rm.defvjp(_fused_pe_rm_fwd, _fused_pe_rm_bwd)
+
+
+def fused_render_rays_pe(params, arch, center, ray, depth, *,
+                         progress=None, barf_c2f=None, setbg_opaque=False,
+                         bgcolor=None, interpret=False):
+    """Drop-in for the sample->field->composite core (no fine sampling).
+
+    center/ray: [B,R,3]; depth: [B,R,K,1] sorted ascending.
+    Returns (rgb [B,R,3], depth [B,R,1], opacity [B,R,1]).
+    """
+    B, R_img, K = depth.shape[0], depth.shape[1], depth.shape[2]
+    n_rays = B * R_img
+    c = center.reshape(n_rays, 3)
+    r = ray.reshape(n_rays, 3)
+    d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
+    pad = (-n_rays) % R_BLK
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
+        r = jnp.concatenate(
+            [r, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], r.dtype), (pad, 1))],
+            axis=0)
+        d = jnp.concatenate([d, jnp.ones((pad, K), d.dtype)], axis=0)
+    masks = tuple(jax.lax.stop_gradient(m)
+                  for m in pe_mask_rows(progress if progress is not None
+                                        else 1.0, barf_c2f))
+    # quadrature columns (ops/render.py): built HERE so XLA autodiffs the
+    # ||ray|| chain through the kernel's ddist cotangent
+    intv = jnp.concatenate(
+        [d[:, 1:] - d[:, :-1], jnp.full_like(d[:, :1], 1e10)], axis=1)
+    ray_len = jnp.sqrt(jnp.sum(r * r, axis=1, keepdims=True))
+    dist = (intv * ray_len).reshape(-1, 1)
+    d_col = jax.lax.stop_gradient(d.reshape(-1, 1))
+    out_pt = fused_mlp_pe_rm(c, r, d, d_col, dist, interpret, masks,
+                             ff.pack_weights(params))
+    out = out_pt[:n_rays * K].reshape(n_rays, K, 8).sum(axis=1)
+    rgb = out[:, :3].reshape(B, R_img, 3)
+    depth_out = out[:, 3:4].reshape(B, R_img, 1)
+    opacity = out[:, 4:5].reshape(B, R_img, 1)
+    if setbg_opaque:
+        rgb = rgb + bgcolor * (1 - opacity)
+    return rgb, depth_out, opacity

@@ -152,3 +152,83 @@ def test_ray_padding(setup):
                                rtol=1e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(dens_f), np.asarray(dens_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# composited variant (fused_mlp_pe_rm / fused_render_rays_pe)
+# ---------------------------------------------------------------------------
+
+def _composite_reference(params, center, ray, depth, progress=None, c2f=None):
+    from neural_invertible_warp_tpu.ops import render
+    rgb_s, dens = _reference(params, center, ray, depth,
+                             progress=progress, c2f=c2f)
+    return render.composite(ray, rgb_s, dens, depth)
+
+
+def _composite_fused(params, center, ray, depth, progress=None, c2f=None):
+    return fused_pe.fused_render_rays_pe(
+        params, ARCH, center, ray, depth, progress=progress, barf_c2f=c2f,
+        interpret=True)
+
+
+def test_composited_forward_parity(setup):
+    params, center, ray, depth = setup
+    rgb_r, d_r, op_r, _ = _composite_reference(params, center, ray, depth,
+                                               progress=0.3, c2f=(0.1, 0.5))
+    rgb_f, d_f, op_f = _composite_fused(params, center, ray, depth,
+                                        progress=0.3, c2f=(0.1, 0.5))
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_r),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(op_f), np.asarray(op_r),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_composited_gradient_parity_exact(setup):
+    """Power-of-two depths (exact FMA agreement, see module docstring):
+    gradients through the full composite must match the XLA chain tightly."""
+    params, center, ray, _ = setup
+    rng = np.random.RandomState(5)
+    B, R, K = center.shape[0], center.shape[1], 128
+    base = np.sort(rng.choice([0.5, 1.0, 2.0, 4.0], (B, R, K)), axis=-1)
+    depth = jnp.asarray(base[..., None].astype(np.float32))
+
+    def loss_of(fn):
+        def run(params, center, ray):
+            rgb, d, op = fn(params, center, ray)
+            return jnp.mean(rgb ** 2) + 0.1 * jnp.mean(d) + jnp.mean(op)
+        return run
+
+    def ref_fn(params, center, ray):
+        rgb, d, op, _ = _composite_reference(params, center, ray, depth,
+                                             progress=0.4, c2f=(0.1, 0.5))
+        return rgb, d, op
+
+    def fused_fn(params, center, ray):
+        return _composite_fused(params, center, ray, depth,
+                                progress=0.4, c2f=(0.1, 0.5))
+
+    g_ref = jax.grad(loss_of(ref_fn), argnums=(0, 1, 2))(params, center, ray)
+    g_f = jax.grad(loss_of(fused_fn), argnums=(0, 1, 2))(params, center, ray)
+    for a, b, name in ((g_ref[1], g_f[1], "center"),
+                       (g_ref[2], g_f[2], "ray")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-6, err_msg=name)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref[0]),
+            jax.tree_util.tree_leaves_with_path(g_f[0])):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-6,
+            err_msg=jax.tree_util.keystr(pa))
+
+
+def test_composited_ray_padding(setup):
+    params, center, ray, depth = setup
+    c1, r1, d1 = center[:1], ray[:1], depth[:1]   # 3 rays, pad to 8
+    rgb_r, d_r, op_r, _ = _composite_reference(params, c1, r1, d1)
+    rgb_f, d_f, op_f = _composite_fused(params, c1, r1, d1)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(op_f), np.asarray(op_r),
+                               rtol=1e-3, atol=1e-3)
