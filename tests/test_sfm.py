@@ -296,3 +296,32 @@ def test_nearest_pose_selection():
     aligned, _ = align.prealign_w2c_large_camera_systems(rec, poses)
     R_err, _ = align._pose_errors_np(aligned, poses.astype(np.float32))
     assert np.rad2deg(R_err.mean()) < 1.0
+
+
+def test_geometry_np_helpers():
+    """Host-side numpy geometry helpers (reference geometric_utils_numpy)."""
+    from neural_invertible_warp_tpu.utils import geometry_np as gnp
+    grid = gnp.get_absolute_coordinates(4, 5)
+    assert grid.shape == (4, 5, 2)
+    assert grid[2, 3, 0] == 3 and grid[2, 3, 1] == 2
+    R = gnp.angles2rotation_matrix([0.1, -0.2, 0.3])
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    K = np.array([[100.0, 0, 50], [0, 120, 40], [0, 0, 1]])
+    K2 = gnp.scale_intrinsics(K, (2.0, 2.0), invert_scales=False)
+    assert K2[0, 0] == 200 and K2[1, 2] == 80
+    # backproject + project round trip through a known relative pose
+    rng = np.random.RandomState(0)
+    kpi = rng.rand(20, 2) * [100, 80]
+    di = 2.0 + rng.rand(20)
+    T = np.eye(4)
+    T[:3, :3] = gnp.angles2rotation_matrix([0.05, 0.1, -0.07])
+    T[:3, 3] = [0.2, -0.1, 0.3]
+    pts_j = gnp.backproject_to_3d(kpi, di, K, T_itoj=T)
+    kpj = gnp.project(gnp.backproject_to_3d(kpi, di, K), T, K)
+    np.testing.assert_allclose(kpj, gnp.from_homogeneous(
+        pts_j @ K.T), atol=1e-6)
+    # pose error metrics
+    eR, et = gnp.compute_pose_error(T, T[:3, :3], T[:3, 3])
+    assert eR < 1e-6 and et < 1e-6
+    eR, et = gnp.compute_pose_error(T, T[:3, :3], -T[:3, 3])
+    assert et < 1e-6   # direction-only, sign-symmetric
