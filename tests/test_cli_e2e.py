@@ -16,10 +16,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(args, env_extra=None):
-    env = dict(os.environ)
+    # Belt-and-suspenders on top of conftest's scrub: children must never
+    # see the container's TPU-relay env (its sitecustomize dials the relay
+    # at interpreter start regardless of JAX_PLATFORMS).
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON"))}
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    pythonpath = [p for p in env.get("PYTHONPATH", "").split(":")
+                  if p and "axon" not in p]
+    env["PYTHONPATH"] = ":".join([REPO] + pythonpath)
     if env_extra:
         env.update(env_extra)
     return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
