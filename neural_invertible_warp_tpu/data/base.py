@@ -144,6 +144,27 @@ class Dataset:
     def __getitem__(self, idx):
         raise NotImplementedError
 
+    def image_names(self):
+        """Best-effort per-sample image file names (basename), or None.
+
+        Used to match samples against external reconstructions by name
+        (pose.init=colmap_files, utils/colmap_io.poses_from_model).
+        """
+        import os as _os
+        names = []
+        for entry in self.list:
+            if isinstance(entry, str):
+                names.append(_os.path.basename(entry))
+            elif isinstance(entry, (tuple, list)) and entry \
+                    and isinstance(entry[0], str):
+                names.append(_os.path.basename(entry[0]))
+            elif isinstance(entry, dict) and "file_path" in entry:
+                names.append(
+                    _os.path.basename(str(entry["file_path"])) + ".png")
+            else:
+                return None
+        return names
+
     def all_arrays(self, opt):
         """Stack the whole split into a dict of numpy arrays (device-ready)."""
         samples = [self[i] for i in range(len(self))]

@@ -84,6 +84,28 @@ class PoseInitMixin:
                 [lie.se3_to_SE3(se3_noise), jnp.asarray(gt)]))
         elif mode == "given":
             init = gt.copy()
+        elif mode == "colmap_files":
+            # Seed from an EXISTING on-disk COLMAP reconstruction
+            # (images.bin/cameras.bin), matching the reference's
+            # get_poses_and_idx semantics (utils/colmap_initialization/
+            # sfm.py:246-284): match by image name, identity + excluded for
+            # unreconstructed images, then sim3-align onto the GT frame.
+            from ..utils import colmap_io
+            model_dir = opt.pose.get("model_dir")
+            assert model_dir, "pose.init=colmap_files needs pose.model_dir"
+            names = getattr(self, "train_image_names", None)
+            init, valid, excluded = colmap_io.poses_from_model(
+                model_dir, image_names=names)
+            if init.shape[0] != self.n_train:
+                raise ValueError(
+                    "COLMAP model has {} images but the split has {} (and "
+                    "no per-image names to match by)".format(
+                        init.shape[0], self.n_train))
+            self.sfm_valid_idx = valid
+            self.sfm_excluded = excluded
+            log.info("COLMAP-file pose init: {} valid, excluded {}".format(
+                len(valid), excluded))
+            init = self._align_sfm_to_gt(init, gt, valid)
         elif mode == "colmap":
             # SfM initialization (reference model/barf_dtu.py:55-67 +
             # utils/colmap_initialization/sfm.py:337-406): matcher ->
@@ -106,12 +128,20 @@ class PoseInitMixin:
             self.sfm_excluded = excluded
             log.info("SfM pose init: {} valid, excluded {}".format(
                 len(valid), excluded))
-            init, _ = align.prealign_w2c_small_camera_systems(init, gt) \
-                if self.n_train <= 9 else \
-                align.prealign_w2c_large_camera_systems(init, gt)
+            init = self._align_sfm_to_gt(init, gt, valid)
         else:
             raise ValueError("unknown pose.init: {}".format(mode))
         return jnp.asarray(np.asarray(init, np.float32))
+
+    def _align_sfm_to_gt(self, init, gt, valid):
+        """Sim3-align reconstructed poses onto the GT frame, FITTING on the
+        valid subset only — identity placeholders for excluded images must
+        not bias the fit — then applying to the full set."""
+        idx = np.asarray(valid if len(valid) else np.arange(init.shape[0]))
+        fit = align.prealign_w2c_small_camera_systems if len(idx) <= 9 \
+            else align.prealign_w2c_large_camera_systems
+        _, ssim = fit(init[idx], gt[idx])
+        return align.apply_traj_align_ssim(init, ssim)
 
 
 class DTUAlignmentMixin:

@@ -48,6 +48,7 @@ class Trainer:
         self.system = cls(opt)
         self.system.attach_data(self.train_data.all_arrays(opt),
                                 self.test_data.all_arrays(opt))
+        self.system.train_image_names = self.train_data.image_names()
         self.state = self.system.init_state(jax.random.PRNGKey(opt.seed or 0))
         self.iter_start = 0
 

@@ -243,6 +243,21 @@ def align_ate_c2b_use_a2b(traj_a_c2w, traj_b_c2w):
     return aligned, ssim
 
 
+def apply_traj_align_ssim(pose_w2c, ssim):
+    """Apply a fitted 'traj_align' sim3 to any w2c pose set (the forward
+    form used inside align_ate_c2b_use_a2b / the small-system search).
+
+    Lets the sim3 be FIT on a trusted subset (e.g. SfM-valid images) and
+    then applied to the full set, so identity placeholders for excluded
+    images cannot bias the fit."""
+    pose_c2w = _np_invert_pose(np.asarray(pose_w2c, np.float32))
+    R, t, s = ssim["R"], np.reshape(ssim["t"], (1, 3, 1)), ssim["s"]
+    R_aligned = R[None] @ pose_c2w[:, :3, :3]
+    t_aligned = s * (R[None] @ pose_c2w[:, :3, 3:4]) + t
+    aligned = np.concatenate([R_aligned, t_aligned], axis=2).astype(np.float32)
+    return _np_invert_pose(aligned)
+
+
 def backtrack_from_aligning_the_trajectory(pose_GT_w2c, ssim):
     """Move GT test poses into the optimized coordinate frame
     (reference align_trajectories.py:56-62)."""

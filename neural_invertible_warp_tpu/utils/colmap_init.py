@@ -12,9 +12,9 @@ self-contained: correspondences come from any callable
 the weight-free ZNCC matcher, the synthetic GT matcher used in tests, and
 the PDC-Net gate), and the reconstruction runs in-process
 (utils/sfm.py: essential seed -> triangulation -> PnP -> jitted JAX bundle
-adjustment) instead of shelling out to pycolmap. If pycolmap IS importable
-it is used for the triangulation backend preferentially (same external
-behavior), but it is not required.
+adjustment) instead of shelling out to pycolmap. For seeding poses from an
+EXISTING on-disk COLMAP reconstruction (images.bin/cameras.bin), see
+utils/colmap_io.py (pose.init=colmap_files).
 """
 
 from __future__ import annotations
@@ -29,14 +29,6 @@ from . import sfm as sfm_mod
 def available():
     """The subsystem is always available (in-process backend)."""
     return True
-
-
-def pycolmap_available():
-    try:
-        import pycolmap  # noqa: F401
-        return True
-    except ImportError:
-        return False
 
 
 def get_matcher(name, **kwargs):
