@@ -88,6 +88,11 @@ class NerfSystem:
                     self._fused_field))
         return self._fused_field
 
+    def _kernel_compute_dtype(self):
+        """MXU operand dtype for the fused kernels (tpu.compute_dtype;
+        f32 accumulation either way — see ops/pallas/fused_field.py)."""
+        return (self.opt.get("tpu") or {}).get("compute_dtype") or "float32"
+
     def apply_field_samples(self, field_params, center, ray, depth, **kwargs):
         mode = self._use_fused_field()
         if mode == "pe":
@@ -97,14 +102,16 @@ class NerfSystem:
                 kwargs.pop("density_noise_reg", None)
                 kwargs.pop("noise_key", None)
                 return fused_pe.fused_apply_nerf_samples_pe(
-                    field_params, self.arch, center, ray, depth, **kwargs)
+                    field_params, self.arch, center, ray, depth,
+                    compute_dtype=self._kernel_compute_dtype(), **kwargs)
             mode = "field"   # e.g. fine-sampling call with an odd K
         if mode == "field":
             from ..ops.pallas import fused_field
             kwargs.pop("density_noise_reg", None)
             kwargs.pop("noise_key", None)
             return fused_field.fused_apply_nerf_samples(
-                field_params, self.arch, center, ray, depth, **kwargs)
+                field_params, self.arch, center, ray, depth,
+                compute_dtype=self._kernel_compute_dtype(), **kwargs)
         return nerf_mlp.apply_nerf_samples(field_params, self.arch, center,
                                            ray, depth, **kwargs)
 
@@ -188,7 +195,8 @@ class NerfSystem:
                     barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f")
                     else None,
                     setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
-                    bgcolor=opt.data.get("bgcolor"))
+                    bgcolor=opt.data.get("bgcolor"),
+                    compute_dtype=self._kernel_compute_dtype())
                 return dict(rgb=rgb, depth=d, opacity=opac)
         common = dict(
             view_dep=opt.nerf.view_dep,

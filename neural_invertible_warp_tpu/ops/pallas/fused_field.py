@@ -39,16 +39,14 @@ BLK = 256          # points (rays*samples) per grid step (backward kernel)
 FWD_BLK = 256      # measured best on v5e (larger blocks hurt DMA overlap)
 N_TRUNK = 8        # trunk layers (reference arch.layers_feat)
 
-# MXU operand dtype for the kernel matmuls (accumulation is always f32).
-# "bfloat16" matches the effective precision of the reference on A100, where
-# torch runs fp32 matmuls as TF32 (10-bit mantissa) by default; float32 is the
-# bit-exact-parity mode. Set via set_compute_dtype() before first compile.
-_COMPUTE_DTYPE = jnp.float32
-
-
-def set_compute_dtype(dtype):
-    global _COMPUTE_DTYPE
-    _COMPUTE_DTYPE = jnp.dtype(dtype)
+# MXU operand dtype for the trunk/head matmuls (accumulation is always f32,
+# via preferred_element_type). "bfloat16" roughly matches the effective
+# precision of the reference on A100, where torch runs fp32 matmuls as TF32
+# (10-bit mantissa) by default; "float32" is the bit-exact-parity mode.
+# Plumbed EXPLICITLY through every kernel entry point as a static argument
+# (a module global is read at trace time of the cached custom_vjp and
+# silently ignores later changes — the round-2 bf16 experiment failed on
+# exactly that, NOTES_r2.md:45-49).
 
 # padded dims
 D_IN = 64          # PE(3D) 63 -> 64
@@ -73,48 +71,45 @@ _ORDER = ["W0", "W1", "W2", "W3", "W4", "W5", "W6", "W7", "Wr0", "Wr1",
           "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "br0", "br1"]
 
 
-def _dot(a, b):
-    d = _COMPUTE_DTYPE
-    return jnp.dot(a.astype(d), b.astype(d),
+def _dot(a, b, cdt=jnp.float32):
+    return jnp.dot(a.astype(cdt), b.astype(cdt),
                    preferred_element_type=jnp.float32)
 
 
-def _dot_tn(a, b):
+def _dot_tn(a, b, cdt=jnp.float32):
     """a^T @ b without materializing the transpose (MXU contraction dims)."""
-    d = _COMPUTE_DTYPE
-    return jax.lax.dot_general(a.astype(d), b.astype(d),
+    return jax.lax.dot_general(a.astype(cdt), b.astype(cdt),
                                (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _dot_nt(a, b):
+def _dot_nt(a, b, cdt=jnp.float32):
     """a @ b^T without materializing the transpose."""
-    d = _COMPUTE_DTYPE
-    return jax.lax.dot_general(a.astype(d), b.astype(d),
+    return jax.lax.dot_general(a.astype(cdt), b.astype(cdt),
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _forward_block(xp, view, w, keep=False):
+def _forward_block(xp, view, w, keep=False, cdt=jnp.float32):
     """Shared forward math on one block. Returns (out, cache-or-None)."""
     hs = []
-    h = jax.nn.relu(_dot(xp, w["W0"]) + w["b0"])
+    h = jax.nn.relu(_dot(xp, w["W0"], cdt) + w["b0"])
     hs.append(h)
     for i in (1, 2, 3):
-        h = jax.nn.relu(_dot(h, w["W{}".format(i)]) + w["b{}".format(i)])
+        h = jax.nn.relu(_dot(h, w["W{}".format(i)], cdt) + w["b{}".format(i)])
         hs.append(h)
     c4 = jnp.concatenate([h, xp], axis=-1)                    # [BLK, 320]
-    h = jax.nn.relu(_dot(c4, w["W4"]) + w["b4"])
+    h = jax.nn.relu(_dot(c4, w["W4"], cdt) + w["b4"])
     hs.append(h)
     for i in (5, 6):
-        h = jax.nn.relu(_dot(h, w["W{}".format(i)]) + w["b{}".format(i)])
+        h = jax.nn.relu(_dot(h, w["W{}".format(i)], cdt) + w["b{}".format(i)])
         hs.append(h)
-    t = _dot(h, w["W7"]) + w["b7"]                            # [BLK, 384]
+    t = _dot(h, w["W7"], cdt) + w["b7"]                       # [BLK, 384]
     density_pre = t[:, 0]
     feat = jax.nn.relu(t[:, 1:D_HID + 1])
     v = jnp.concatenate([feat, view], axis=-1)                # [BLK, 288]
-    r0 = jax.nn.relu(_dot(v, w["Wr0"]) + w["br0"])
-    rgb_pre = _dot(r0, w["Wr1"]) + w["br1"]                   # [BLK, 128]
+    r0 = jax.nn.relu(_dot(v, w["Wr0"], cdt) + w["br0"])
+    rgb_pre = _dot(r0, w["Wr1"], cdt) + w["br1"]              # [BLK, 128]
     rgb = jax.nn.sigmoid(rgb_pre[:, :3])
     density = jax.nn.softplus(density_pre)
     out = jnp.concatenate([rgb, density[:, None]], axis=-1)   # [BLK, 4]
@@ -122,36 +117,41 @@ def _forward_block(xp, view, w, keep=False):
     return out, cache
 
 
-def _fwd_kernel(xp_ref, view_ref, *wrefs):
+def _fwd_kernel(cdt, xp_ref, view_ref, *wrefs):
     out_ref = wrefs[-1]
     w = {name: wrefs[i][:] for i, name in enumerate(_ORDER)}
-    out, _ = _forward_block(xp_ref[:], view_ref[:], w)
+    out, _ = _forward_block(xp_ref[:], view_ref[:], w, cdt=cdt)
     out_ref[:] = out
 
 
-def _mlp_backward(xp, view, w, g, accumulate):
+def _mlp_backward(xp, view, w, g, accumulate, cdt=jnp.float32, fwd=None):
     """Shared MLP backward on one block.
 
     Args:
         g: [n, 4] cotangents of (rgb, density).
         accumulate: fn(name, value) accumulating a weight/bias gradient.
+        fwd: optional precomputed (out, cache) from _forward_block(keep=True)
+             — callers that already ran the forward for this exact chunk
+             (e.g. the composited kernel's per-chunk backward) pass it to
+             avoid a duplicate recompute.
     Returns:
         (dxp [n, D_IN], dview [n, D_VIEW])
     """
     n = xp.shape[0]
-    out, cache = _forward_block(xp, view, w, keep=True)
+    out, cache = fwd if fwd is not None else _forward_block(
+        xp, view, w, keep=True, cdt=cdt)
     hs, c4, t, feat, v, r0, rgb_pre = cache
     rgb = out[:, :3]
 
     # heads (pad instead of scatter: Pallas TPU has no scatter lowering)
     g_rgb_pre = jnp.pad(g[:, :3] * rgb * (1 - rgb),
                         ((0, 0), (0, D_HEAD - 3)))
-    accumulate("Wr1", _dot_tn(r0, g_rgb_pre))
+    accumulate("Wr1", _dot_tn(r0, g_rgb_pre, cdt))
     accumulate("br1", jnp.sum(g_rgb_pre, axis=0, keepdims=True))
-    g_r0 = _dot_nt(g_rgb_pre, w["Wr1"]) * (r0 > 0)
-    accumulate("Wr0", _dot_tn(v, g_r0))
+    g_r0 = _dot_nt(g_rgb_pre, w["Wr1"], cdt) * (r0 > 0)
+    accumulate("Wr0", _dot_tn(v, g_r0, cdt))
     accumulate("br0", jnp.sum(g_r0, axis=0, keepdims=True))
-    g_v = _dot_nt(g_r0, w["Wr0"])                              # [n, 288]
+    g_v = _dot_nt(g_r0, w["Wr0"], cdt)                              # [n, 288]
     g_feat = g_v[:, :D_HID]
     dview = g_v[:, D_HID:]
 
@@ -162,34 +162,34 @@ def _mlp_backward(xp, view, w, g, accumulate):
         g_feat * (feat > 0),
         jnp.zeros((n, D_OUT7 - D_HID - 1), jnp.float32),
     ], axis=-1)
-    accumulate("W7", _dot_tn(hs[6], g_t))
+    accumulate("W7", _dot_tn(hs[6], g_t, cdt))
     accumulate("b7", jnp.sum(g_t, axis=0, keepdims=True))
-    g_h = _dot_nt(g_t, w["W7"]) * (hs[6] > 0)                  # grad at h6
+    g_h = _dot_nt(g_t, w["W7"], cdt) * (hs[6] > 0)                  # grad at h6
 
     for i in (6, 5):
-        accumulate("W{}".format(i), _dot_tn(hs[i - 1], g_h))
+        accumulate("W{}".format(i), _dot_tn(hs[i - 1], g_h, cdt))
         accumulate("b{}".format(i), jnp.sum(g_h, axis=0, keepdims=True))
-        g_h = _dot_nt(g_h, w["W{}".format(i)]) * (hs[i - 1] > 0)
+        g_h = _dot_nt(g_h, w["W{}".format(i)], cdt) * (hs[i - 1] > 0)
 
     # skip layer: input was c4 = [h3; xp]
-    accumulate("W4", _dot_tn(c4, g_h))
+    accumulate("W4", _dot_tn(c4, g_h, cdt))
     accumulate("b4", jnp.sum(g_h, axis=0, keepdims=True))
-    g_c4 = _dot_nt(g_h, w["W4"])                               # [n, 320]
+    g_c4 = _dot_nt(g_h, w["W4"], cdt)                               # [n, 320]
     g_xp = g_c4[:, D_HID:]
     g_h = g_c4[:, :D_HID] * (hs[3] > 0)
 
     for i in (3, 2, 1):
-        accumulate("W{}".format(i), _dot_tn(hs[i - 1], g_h))
+        accumulate("W{}".format(i), _dot_tn(hs[i - 1], g_h, cdt))
         accumulate("b{}".format(i), jnp.sum(g_h, axis=0, keepdims=True))
-        g_h = _dot_nt(g_h, w["W{}".format(i)]) * (hs[i - 1] > 0)
+        g_h = _dot_nt(g_h, w["W{}".format(i)], cdt) * (hs[i - 1] > 0)
 
-    accumulate("W0", _dot_tn(xp, g_h))
+    accumulate("W0", _dot_tn(xp, g_h, cdt))
     accumulate("b0", jnp.sum(g_h, axis=0, keepdims=True))
-    dxp = g_xp + _dot_nt(g_h, w["W0"])
+    dxp = g_xp + _dot_nt(g_h, w["W0"], cdt)
     return dxp, dview
 
 
-def _bwd_kernel(xp_ref, view_ref, g_ref, *refs):
+def _bwd_kernel(cdt, xp_ref, view_ref, g_ref, *refs):
     """Recompute forward, backprop; accumulate dW/db across the grid."""
     w = {name: refs[i][:] for i, name in enumerate(_ORDER)}
     n_w = len(_ORDER)
@@ -206,7 +206,8 @@ def _bwd_kernel(xp_ref, view_ref, g_ref, *refs):
     def accumulate(name, value):
         dw_refs[name][:] += value
 
-    dxp, dview = _mlp_backward(xp_ref[:], view_ref[:], w, g_ref[:], accumulate)
+    dxp, dview = _mlp_backward(xp_ref[:], view_ref[:], w, g_ref[:],
+                               accumulate, cdt=cdt)
     dxp_ref[:] = dxp
     dview_ref[:] = dview
 
@@ -221,23 +222,29 @@ def _blk_spec(width, blk=BLK):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_mlp(xp, view, weights, interpret=False):
+def resolve_compute_dtype(compute_dtype):
+    """'float32'/'bfloat16' (or None) -> jnp dtype for the MXU operands."""
+    return jnp.dtype(compute_dtype or "float32")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_mlp(xp, view, weights, interpret=False, compute_dtype="float32"):
     """Fused field MLP. xp: [N,64] encoded points; view: [N,32] encoded dirs;
-    weights: dict of padded arrays (see module docstring).
+    weights: dict of padded arrays (see module docstring); compute_dtype:
+    static MXU operand dtype for the matmuls (f32 accumulation either way).
     Returns [N,4] = (rgb sigmoid, density softplus). N must be a BLK multiple."""
-    out, _ = _fused_fwd(xp, view, weights, interpret)
+    out, _ = _fused_fwd(xp, view, weights, interpret, compute_dtype)
     return out
 
 
-def _fused_fwd(xp, view, weights, interpret):
+def _fused_fwd(xp, view, weights, interpret, compute_dtype):
     N = xp.shape[0]
     assert N % BLK == 0, N
     fwd_blk = FWD_BLK if N % FWD_BLK == 0 else BLK
     grid = (N // fwd_blk,)
     w_list = [weights[k] for k in _ORDER]
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, resolve_compute_dtype(compute_dtype)),
         grid=grid,
         in_specs=[_blk_spec(D_IN, fwd_blk), _blk_spec(D_VIEW, fwd_blk)] +
                  [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
@@ -249,7 +256,7 @@ def _fused_fwd(xp, view, weights, interpret):
     return out, (xp, view, weights)
 
 
-def _fused_bwd(interpret, res, g):
+def _fused_bwd(interpret, compute_dtype, res, g):
     xp, view, weights = res
     N = xp.shape[0]
     grid = (N // BLK,)
@@ -263,7 +270,7 @@ def _fused_bwd(interpret, res, g):
                  [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
                   for k in _ORDER])
     outs = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, resolve_compute_dtype(compute_dtype)),
         grid=grid,
         in_specs=[_blk_spec(D_IN), _blk_spec(D_VIEW), _blk_spec(4)] +
                  [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
@@ -329,7 +336,7 @@ def fused_apply_nerf_samples(params, arch, center, ray, depth, *,
                              view_dep=True, density_activ="softplus",
                              progress=None, barf_c2f=None,
                              density_noise_reg=None, noise_key=None,
-                             interpret=False):
+                             interpret=False, compute_dtype="float32"):
     """Drop-in for ops.nerf_mlp.apply_nerf_samples using the fused kernel.
 
     Requirements (reference default arch): layers_feat 8x256 skip [4],
@@ -354,7 +361,8 @@ def fused_apply_nerf_samples(params, arch, center, ray, depth, *,
     N_pad = -(-N // FWD_BLK) * FWD_BLK if N >= FWD_BLK else -(-N // BLK) * BLK
     xp = jnp.pad(xp, ((0, N_pad - N), (0, D_IN - 63)))
     vi = jnp.pad(vi, ((0, N_pad - N), (0, D_VIEW - 27)))
-    out = fused_mlp(xp, vi, pack_weights(params), interpret)[:N]
+    out = fused_mlp(xp, vi, pack_weights(params), interpret,
+                    compute_dtype)[:N]
     rgb = out[:, :3].reshape(B, R, K, 3)
     density = out[:, 3].reshape(B, R, K)
     if density_noise_reg and noise_key is not None:

@@ -136,7 +136,7 @@ def _encode_block(center, ray, depth, mid3, ws3, wc3, midv, wsv, wcv,
     return xp, vi, (xp_pre, d3, vF, ru, inv)
 
 
-def _fwd_pe_kernel(center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
+def _fwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
                    wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref, Fv_ref,
                    *wrefs):
     out_ref = wrefs[-1]
@@ -145,11 +145,11 @@ def _fwd_pe_kernel(center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
                               mid3_ref[:], ws3_ref[:], wc3_ref[:],
                               midv_ref[:], wsv_ref[:], wcv_ref[:],
                               F3_ref[:], Fv_ref[:])
-    out, _ = ff._forward_block(xp, vi, w)
+    out, _ = ff._forward_block(xp, vi, w, cdt=cdt)
     out_ref[:] = out
 
 
-def _bwd_pe_kernel(center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
+def _bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
                    wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref, Fv_ref,
                    g_ref, *refs):
     w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
@@ -184,7 +184,8 @@ def _bwd_pe_kernel(center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
     dxp_parts, dview_parts = [], []
     for s0 in range(0, n, sub):
         dxp_s, dview_s = ff._mlp_backward(xp[s0:s0 + sub], vi[s0:s0 + sub],
-                                          w, g[s0:s0 + sub], accumulate)
+                                          w, g[s0:s0 + sub], accumulate,
+                                          cdt=cdt)
         dxp_parts.append(dxp_s)
         dview_parts.append(dview_s)
     dxp = jnp.concatenate(dxp_parts, axis=0)
@@ -223,8 +224,9 @@ def _w_specs():
             for k in ff._ORDER]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_mlp_pe(center, ray, depth, interpret, masks, weights):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_mlp_pe(center, ray, depth, interpret, compute_dtype, masks,
+                 weights):
     """Fused PE + field MLP.
 
     center/ray: [R,3]; depth: [R,K]; masks: (ws3 [1,64], wc3 [1,64],
@@ -232,18 +234,21 @@ def fused_mlp_pe(center, ray, depth, interpret, masks, weights):
     padded dict. Returns [R*K, 4] (rgb sigmoid, density softplus), sample
     index = r*K + k. R must be a multiple of the ray block.
     """
-    out, _ = _fused_pe_fwd(center, ray, depth, interpret, masks, weights)
+    out, _ = _fused_pe_fwd(center, ray, depth, interpret, compute_dtype,
+                           masks, weights)
     return out
 
 
-def _fused_pe_fwd(center, ray, depth, interpret, masks, weights):
+def _fused_pe_fwd(center, ray, depth, interpret, compute_dtype, masks,
+                  weights):
     R, K = depth.shape
     assert R % R_BLK == 0, (R, R_BLK)
     grid = (R // R_BLK,)
     ws3, wc3, wsv, wcv = masks
     w_list = [weights[k] for k in ff._ORDER]
     out = pl.pallas_call(
-        _fwd_pe_kernel,
+        functools.partial(_fwd_pe_kernel,
+                          ff.resolve_compute_dtype(compute_dtype)),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -261,7 +266,7 @@ def _fused_pe_fwd(center, ray, depth, interpret, masks, weights):
     return out, (center, ray, depth, masks, weights)
 
 
-def _fused_pe_bwd(interpret, res, g):
+def _fused_pe_bwd(interpret, compute_dtype, res, g):
     center, ray, depth, masks, weights = res
     R, K = depth.shape
     grid = (R // R_BLK,)
@@ -274,7 +279,8 @@ def _fused_pe_bwd(interpret, res, g):
                               jnp.float32) for k in ff._ORDER])
     out_specs = ([_ray_spec(3, R_BLK), _ray_spec(3, R_BLK)] + _w_specs())
     outs = pl.pallas_call(
-        _bwd_pe_kernel,
+        functools.partial(_bwd_pe_kernel,
+                          ff.resolve_compute_dtype(compute_dtype)),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -306,7 +312,7 @@ def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
                                 view_dep=True, density_activ="softplus",
                                 progress=None, barf_c2f=None,
                                 density_noise_reg=None, noise_key=None,
-                                interpret=False):
+                                interpret=False, compute_dtype="float32"):
     """PE-fused drop-in for ops.nerf_mlp.apply_nerf_samples.
 
     Requirements: the fused_field arch contract plus a sample count K that
@@ -333,7 +339,7 @@ def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
     masks = tuple(jax.lax.stop_gradient(m)
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
-    out = fused_mlp_pe(c, r, d, interpret, masks,
+    out = fused_mlp_pe(c, r, d, interpret, compute_dtype, masks,
                        ff.pack_weights(params))
     out = out[:n_rays * K]
     rgb = out[:, :3].reshape(B, R_img, K, 3)
@@ -356,24 +362,44 @@ def supports(arch, opt_nerf, sample_intvs=None):
 # per-ray sum is one cheap XLA reduction)
 # ---------------------------------------------------------------------------
 
-def _prefix_mat_blockdiag(rays_blk, K):
-    """[n,n] = I_R (x) strict_lower_K applied from the LEFT: (M @ s)[rK+i]
-    = sum_{j<i} s[rK+j]. Stays in the [n,1] point-major layout — Mosaic
-    cannot shape-cast between (R,K) lanes and (n,1) sublanes, and it has no
-    cumsum lowering either (and cumsum(s)-s would cancel catastrophically
-    against the sigma*1e10 last-interval term)."""
-    n = rays_blk * K
-    M = np.zeros((n, n), np.float32)
-    for r in range(rays_blk):
-        base = r * K
-        for i in range(1, K):
-            M[base + i, base:base + i] = 1.0
-    return M
+def _prefix_mat_lower(K):
+    """[K,K] strict lower triangular: (L @ s_r)[i] = sum_{j<i} s_r[j].
+
+    Round-2 used the full [n,n] = I_R (x) L block-diagonal matvec (Mosaic
+    cannot shape-cast (n,1) sublanes <-> (R,K) lanes and has no cumsum
+    lowering; cumsum(s)-s would also cancel catastrophically against the
+    sigma*1e10 last-interval term). That matvec was 127/128 zeros and
+    ~4.3 ms/step of MXU-starved work (NOTES_r2.md:136-146). Decomposed
+    per-ray it is R_BLK [K,K]@[K,1] matvecs on static sublane slices —
+    identical FP values (zero terms don't perturb the dot reduction), 8x
+    less MXU work and a 64 KB operand instead of 4 MB of VMEM."""
+    L = np.zeros((K, K), np.float32)
+    for i in range(1, K):
+        L[i, :i] = 1.0
+    return L
 
 
-def _rm_fwd_pe_kernel(center_ref, ray_ref, depth_ref, d_col_ref, dist_ref,
-                      mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref,
-                      wcv_ref, F3_ref, Fv_ref, M_ref, *wrefs):
+def _prefix_blockdiag(L, s, rays_blk, K):
+    """(I_R (x) L) @ s for s [R*K, 1], via per-ray [K,K]@[K,1] matvecs.
+
+    (Batching the rays as columns of one [K,K]@[K,R] matmul fails to lower
+    in Mosaic — the [128,1]-piece lane-concat has no legal relayout; the
+    matvec loop measures within 0.4 ms/step of a no-prefix ablation, so
+    there is nothing left to win here.)"""
+    return jnp.concatenate(
+        [ff._dot(L, s[r * K:(r + 1) * K]) for r in range(rays_blk)], axis=0)
+
+
+def _prefix_blockdiag_t(L, g, rays_blk, K):
+    """(I_R (x) L)^T @ g (the backward transpose), per-ray."""
+    return jnp.concatenate(
+        [ff._dot_tn(L, g[r * K:(r + 1) * K]) for r in range(rays_blk)],
+        axis=0)
+
+
+def _rm_fwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
+                      dist_ref, mid3_ref, ws3_ref, wc3_ref, midv_ref,
+                      wsv_ref, wcv_ref, F3_ref, Fv_ref, L_ref, *wrefs):
     out_ref = wrefs[-1]
     w = {name: wrefs[i][:] for i, name in enumerate(ff._ORDER)}
     center, ray, depth = center_ref[:], ray_ref[:], depth_ref[:]
@@ -381,14 +407,15 @@ def _rm_fwd_pe_kernel(center_ref, ray_ref, depth_ref, d_col_ref, dist_ref,
                               mid3_ref[:], ws3_ref[:], wc3_ref[:],
                               midv_ref[:], wsv_ref[:], wcv_ref[:],
                               F3_ref[:], Fv_ref[:])
-    out4, _ = ff._forward_block(xp, vi, w)
+    out4, _ = ff._forward_block(xp, vi, w, cdt=cdt)
     rgb = out4[:, :3]
     sigma = out4[:, 3:4]
     dist = dist_ref[:]
     d_col = d_col_ref[:]
     s = sigma * dist
     alpha = 1.0 - jnp.exp(-s)
-    prefix = ff._dot(M_ref[:], s)
+    R, K = depth.shape
+    prefix = _prefix_blockdiag(L_ref[:], s, R, K)
     wgt = jnp.exp(-prefix) * alpha                             # [n,1]
     n = xp.shape[0]
     out_ref[:] = jnp.concatenate(
@@ -396,9 +423,10 @@ def _rm_fwd_pe_kernel(center_ref, ray_ref, depth_ref, d_col_ref, dist_ref,
          jnp.zeros((n, 3), jnp.float32)], axis=-1)             # [n,8]
 
 
-def _rm_bwd_pe_kernel(center_ref, ray_ref, depth_ref, d_col_ref, dist_ref,
-                      mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref,
-                      wcv_ref, F3_ref, Fv_ref, M_ref, g_ref, *refs):
+def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
+                      dist_ref, mid3_ref, ws3_ref, wc3_ref, midv_ref,
+                      wsv_ref, wcv_ref, F3_ref, Fv_ref, L_ref, g_ref,
+                      *refs):
     w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
     n_w = len(ff._ORDER)
     dcenter_ref, dray_ref, ddist_ref = refs[n_w], refs[n_w + 1], refs[n_w + 2]
@@ -424,38 +452,52 @@ def _rm_bwd_pe_kernel(center_ref, ray_ref, depth_ref, d_col_ref, dist_ref,
     R, K = depth.shape
     n = R * K
 
-    out4, _ = ff._forward_block(xp, vi, w)
-    rgb = out4[:, :3]
-    sigma = out4[:, 3:4]
     dist = dist_ref[:]
     d_col = d_col_ref[:]
-    s = sigma * dist
-    alpha = 1.0 - jnp.exp(-s)
-    M = M_ref[:]
-    prefix = ff._dot(M, s)
-    T = jnp.exp(-prefix)
-    wgt = T * alpha
-
-    # composite backward (per-point cotangents g [n,8]; the outside per-ray
-    # sum broadcasts its cotangent to every sample row)
+    L = L_ref[:]
     g_pt = g_ref[:]
-    gr, gd, go = g_pt[:, :3], g_pt[:, 3:4], g_pt[:, 4:5]
-    g_wgt = jnp.sum(gr * rgb, axis=-1, keepdims=True) + gd * d_col + go
-    g_rgb = wgt * gr
-    g_alpha = g_wgt * T
-    g_prefix = -(g_wgt * alpha) * T
-    g_s = g_alpha * jnp.exp(-s) + ff._dot_tn(M, g_prefix)
-    g_sigma = g_s * dist
-    ddist_ref[:] = g_s * sigma     # dist chain (-> ray length) in wrapper
 
-    g4 = jnp.concatenate([g_rgb, g_sigma], axis=-1)            # [n,4]
-    sub = min(MLP_SUB, n)
-    dxp_parts, dview_parts = [], []
+    # One fused pass per sub-chunk: forward (kept), composite backward, MLP
+    # backward reusing the SAME activation cache. Chunks hold whole rays
+    # (sub is a K-multiple) so the per-ray transmittance coupling stays
+    # chunk-local; this removes the full-block duplicate forward the round-2
+    # version paid (~2.6 ms/step at the bench shape).
+    m = max(1, min(MLP_SUB, n) // K)
+    while R % m:     # chunks must tile the block exactly (static shapes)
+        m -= 1
+    sub = m * K
+    dxp_parts, dview_parts, ddist_parts = [], [], []
     for s0 in range(0, n, sub):
-        dxp_s, dview_s = ff._mlp_backward(xp[s0:s0 + sub], vi[s0:s0 + sub],
-                                          w, g4[s0:s0 + sub], accumulate)
+        sl = slice(s0, s0 + sub)
+        fwd = ff._forward_block(xp[sl], vi[sl], w, keep=True, cdt=cdt)
+        out4 = fwd[0]
+        rgb = out4[:, :3]
+        sigma = out4[:, 3:4]
+        s = sigma * dist[sl]
+        alpha = 1.0 - jnp.exp(-s)
+        r_sub = sub // K
+        prefix = _prefix_blockdiag(L, s, r_sub, K)
+        T = jnp.exp(-prefix)
+        wgt = T * alpha
+
+        # composite backward (per-point cotangents g [n,8]; the outside
+        # per-ray sum broadcasts its cotangent to every sample row)
+        gr, gd, go = g_pt[sl, :3], g_pt[sl, 3:4], g_pt[sl, 4:5]
+        g_wgt = jnp.sum(gr * rgb, axis=-1, keepdims=True) \
+            + gd * d_col[sl] + go
+        g_rgb = wgt * gr
+        g_alpha = g_wgt * T
+        g_prefix = -(g_wgt * alpha) * T
+        g_s = g_alpha * jnp.exp(-s) + _prefix_blockdiag_t(L, g_prefix,
+                                                          r_sub, K)
+        ddist_parts.append(g_s * sigma)   # dist chain (-> ||ray||) outside
+        g4 = jnp.concatenate([g_rgb, g_s * dist[sl]], axis=-1)  # [sub,4]
+
+        dxp_s, dview_s = ff._mlp_backward(xp[sl], vi[sl], w, g4, accumulate,
+                                          cdt=cdt, fwd=fwd)
         dxp_parts.append(dxp_s)
         dview_parts.append(dview_s)
+    ddist_ref[:] = jnp.concatenate(ddist_parts, axis=0)
     dxp = jnp.concatenate(dxp_parts, axis=0)
     dview = jnp.concatenate(dview_parts, axis=0)
 
@@ -474,9 +516,9 @@ def _rm_bwd_pe_kernel(center_ref, ray_ref, depth_ref, d_col_ref, dist_ref,
     dray_ref[:] = dray
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_mlp_pe_rm(center, ray, depth, d_col, dist, interpret, masks,
-                    weights):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_mlp_pe_rm(center, ray, depth, d_col, dist, interpret,
+                    compute_dtype, masks, weights):
     """Fused PE + field MLP + alpha compositing.
 
     center/ray: [R,3]; depth: [R,K] (pts construction, non-diff);
@@ -486,7 +528,7 @@ def fused_mlp_pe_rm(center, ray, depth, d_col, dist, interpret, masks,
     (wgt*rgb, wgt*depth, wgt, 0,0,0); the caller sums per ray over K.
     """
     out, _ = _fused_pe_rm_fwd(center, ray, depth, d_col, dist, interpret,
-                              masks, weights)
+                              compute_dtype, masks, weights)
     return out
 
 
@@ -495,8 +537,8 @@ def _pt_spec(width, blk):
                         memory_space=pltpu.VMEM)
 
 
-def _fused_pe_rm_fwd(center, ray, depth, d_col, dist, interpret, masks,
-                     weights):
+def _fused_pe_rm_fwd(center, ray, depth, d_col, dist, interpret,
+                     compute_dtype, masks, weights):
     R, K = depth.shape
     assert R % R_BLK == 0, (R, R_BLK)
     grid = (R // R_BLK,)
@@ -504,25 +546,26 @@ def _fused_pe_rm_fwd(center, ray, depth, d_col, dist, interpret, masks,
     ws3, wc3, wsv, wcv = masks
     w_list = [weights[k] for k in ff._ORDER]
     out = pl.pallas_call(
-        _rm_fwd_pe_kernel,
+        functools.partial(_rm_fwd_pe_kernel,
+                          ff.resolve_compute_dtype(compute_dtype)),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK), _pt_spec(1, blk), _pt_spec(1, blk),
                   _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
                   _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
                   ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
-                  ff._full_spec((blk, blk))] + _w_specs(),
+                  ff._full_spec((K, K))] + _w_specs(),
         out_specs=_pt_spec(8, blk),
         out_shape=jax.ShapeDtypeStruct((R * K, 8), jnp.float32),
         interpret=interpret,
     )(center, ray, depth, d_col, dist, jnp.asarray(_MID3D), ws3, wc3,
       jnp.asarray(_MIDV), wsv, wcv,
       jnp.asarray(_F3D), jnp.asarray(_FV),
-      jnp.asarray(_prefix_mat_blockdiag(R_BLK, K)), *w_list)
+      jnp.asarray(_prefix_mat_lower(K)), *w_list)
     return out, (center, ray, depth, d_col, dist, masks, weights)
 
 
-def _fused_pe_rm_bwd(interpret, res, g):
+def _fused_pe_rm_bwd(interpret, compute_dtype, res, g):
     center, ray, depth, d_col, dist, masks, weights = res
     R, K = depth.shape
     grid = (R // R_BLK,)
@@ -538,14 +581,15 @@ def _fused_pe_rm_bwd(interpret, res, g):
     out_specs = ([_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _pt_spec(1, blk)] + _w_specs())
     outs = pl.pallas_call(
-        _rm_bwd_pe_kernel,
+        functools.partial(_rm_bwd_pe_kernel,
+                          ff.resolve_compute_dtype(compute_dtype)),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK), _pt_spec(1, blk), _pt_spec(1, blk),
                   _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
                   _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
                   ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
-                  ff._full_spec((blk, blk)),
+                  ff._full_spec((K, K)),
                   _pt_spec(8, blk)] + _w_specs(),
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -553,7 +597,7 @@ def _fused_pe_rm_bwd(interpret, res, g):
     )(center, ray, depth, d_col, dist, jnp.asarray(_MID3D), ws3, wc3,
       jnp.asarray(_MIDV), wsv, wcv,
       jnp.asarray(_F3D), jnp.asarray(_FV),
-      jnp.asarray(_prefix_mat_blockdiag(R_BLK, K)), g, *w_list)
+      jnp.asarray(_prefix_mat_lower(K)), g, *w_list)
     dcenter, dray, ddist = outs[0], outs[1], outs[2]
     dw = {k: outs[3 + i] for i, k in enumerate(ff._ORDER)}
     zero_masks = tuple(jnp.zeros_like(m) for m in masks)
@@ -566,7 +610,8 @@ fused_mlp_pe_rm.defvjp(_fused_pe_rm_fwd, _fused_pe_rm_bwd)
 
 def fused_render_rays_pe(params, arch, center, ray, depth, *,
                          progress=None, barf_c2f=None, setbg_opaque=False,
-                         bgcolor=None, interpret=False):
+                         bgcolor=None, interpret=False,
+                         compute_dtype="float32"):
     """Drop-in for the sample->field->composite core (no fine sampling).
 
     center/ray: [B,R,3]; depth: [B,R,K,1] sorted ascending.
@@ -594,8 +639,8 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
     ray_len = jnp.sqrt(jnp.sum(r * r, axis=1, keepdims=True))
     dist = (intv * ray_len).reshape(-1, 1)
     d_col = jax.lax.stop_gradient(d.reshape(-1, 1))
-    out_pt = fused_mlp_pe_rm(c, r, d, d_col, dist, interpret, masks,
-                             ff.pack_weights(params))
+    out_pt = fused_mlp_pe_rm(c, r, d, d_col, dist, interpret, compute_dtype,
+                             masks, ff.pack_weights(params))
     out = out_pt[:n_rays * K].reshape(n_rays, K, 8).sum(axis=1)
     rgb = out[:, :3].reshape(B, R_img, 3)
     depth_out = out[:, 3:4].reshape(B, R_img, 1)

@@ -1,9 +1,11 @@
 """Isolated timings of the fused field kernels on the real chip.
 
 Measures fwd and fwd+bwd wall time at the bench workload shape for the
-MLP-only kernel (fused_field) and the PE-fused kernel (fused_pe) at various
-ray-block sizes. Hard-syncs by fetching values (axon tunnel)."""
+MLP-only kernel (fused_field), the PE-fused kernel (fused_pe) and the
+composited kernel (fused_pe_rm), each at f32 and bf16 MXU operand dtype.
+Hard-syncs by fetching values (axon tunnel)."""
 
+import argparse
 import sys
 import time
 
@@ -13,6 +15,13 @@ sys.path.insert(0, ".")
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtypes", default="float32,bfloat16")
+    ap.add_argument("--r-blks", default="8")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--skip-ff", action="store_true")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from neural_invertible_warp_tpu.dotdict import DotDict
@@ -38,47 +47,76 @@ def main():
     xp = jnp.asarray(rng.randn(N, 64).astype(np.float32))
     vi = jnp.asarray(rng.randn(N, 32).astype(np.float32))
     g = jnp.asarray(rng.randn(N, 4).astype(np.float32))
+    d_col = d.reshape(-1, 1)
+    intv = jnp.concatenate([d[:, 1:] - d[:, :-1],
+                            jnp.full_like(d[:, :1], 1e10)], axis=1)
+    ray_len = jnp.sqrt(jnp.sum(r * r, axis=1, keepdims=True))
+    dist = (intv * ray_len).reshape(-1, 1)
+    g8 = jnp.asarray(rng.randn(N, 8).astype(np.float32))
 
     def scalarize(fn):
         """Reduce all outputs to ONE scalar inside the jit: a single value
         fetch is the only reliable sync through the axon tunnel, and per-leaf
         fetches would add ~2 ms tunnel latency per leaf."""
-        def run(*args):
-            out = fn(*args)
+        def run(*a):
+            out = fn(*a)
             leaves = jax.tree_util.tree_leaves(out)
             return sum(jnp.sum(l) for l in leaves)
         return jax.jit(run)
 
-    def timeit(fn, *args, reps=20):
-        float(fn(*args))
+    def timeit(fn, *a, reps=args.reps):
+        float(fn(*a))
         t0 = time.time()
         for _ in range(reps):
-            v = fn(*args)
+            v = fn(*a)
         float(v)
         return (time.time() - t0) / reps * 1000
 
-    # fused_field (round 1)
-    f_fwd = scalarize(lambda xp, vi, w: ff.fused_mlp(xp, vi, w, False))
-    print("ff fwd:      {:.2f} ms".format(timeit(f_fwd, xp, vi, w)))
-    f_vjp = scalarize(lambda xp, vi, w, g: jax.vjp(
-        lambda a, b, ww: ff.fused_mlp(a, b, ww, False), xp, vi, w)[1](g))
-    print("ff fwd+bwd:  {:.2f} ms".format(timeit(f_vjp, xp, vi, w, g)))
+    dtypes = args.dtypes.split(",")
+    if not args.skip_ff:
+        for cdt in dtypes:
+            f_fwd = scalarize(lambda xp, vi, w: ff.fused_mlp(
+                xp, vi, w, False, cdt))
+            f_vjp = scalarize(lambda xp, vi, w, g: jax.vjp(
+                lambda a, b, ww: ff.fused_mlp(a, b, ww, False, cdt),
+                xp, vi, w)[1](g))
+            print("ff  {:9s} fwd: {:6.2f} ms   fwd+bwd: {:6.2f} ms".format(
+                cdt, timeit(f_fwd, xp, vi, w), timeit(f_vjp, xp, vi, w, g)),
+                flush=True)
 
-    g_rays = jnp.asarray(rng.randn(N, 4).astype(np.float32))
-    for r_blk in (8, 16, 32):
+    for r_blk in (int(x) for x in args.r_blks.split(",")):
         fp.set_ray_block(r_blk)
-        p_fwd = scalarize(lambda c, r, d, w: fp.fused_mlp_pe(
-            c, r, d, False, masks, w))
-        p_vjp = scalarize(lambda c, r, d, w, g: jax.vjp(
-            lambda a, b, dd, ww: fp.fused_mlp_pe(a, b, dd, False, masks, ww),
-            c, r, d, w)[1](g))
-        try:
-            t1 = timeit(p_fwd, c, r, d, w)
-            t2 = timeit(p_vjp, c, r, d, w, g_rays)
-            print("pe R_BLK={:2d} fwd: {:.2f} ms   fwd+bwd: {:.2f} ms".format(
-                r_blk, t1, t2))
-        except Exception as e:
-            print("pe R_BLK={:2d} FAILED: {}".format(r_blk, str(e)[:200]))
+        for cdt in dtypes:
+            p_fwd = scalarize(lambda c, r, d, w: fp.fused_mlp_pe(
+                c, r, d, False, cdt, masks, w))
+            p_vjp = scalarize(lambda c, r, d, w, g: jax.vjp(
+                lambda a, b, dd, ww: fp.fused_mlp_pe(a, b, dd, False, cdt,
+                                                     masks, ww),
+                c, r, d, w)[1](g))
+            try:
+                t1 = timeit(p_fwd, c, r, d, w)
+                t2 = timeit(p_vjp, c, r, d, w, g)
+                print("pe  R_BLK={:2d} {:9s} fwd: {:6.2f} ms   fwd+bwd: "
+                      "{:6.2f} ms".format(r_blk, cdt, t1, t2), flush=True)
+            except Exception as e:
+                print("pe  R_BLK={:2d} {} FAILED: {}".format(
+                    r_blk, cdt, str(e)[:200]), flush=True)
+
+        for cdt in dtypes:
+            m_fwd = scalarize(lambda c, r, d, dc, di, w: fp.fused_mlp_pe_rm(
+                c, r, d, dc, di, False, cdt, masks, w))
+            m_vjp = scalarize(lambda c, r, d, dc, di, w, g: jax.vjp(
+                lambda a, b, dd, dcc, dii, ww: fp.fused_mlp_pe_rm(
+                    a, b, dd, dcc, dii, False, cdt, masks, ww),
+                c, r, d, dc, di, w)[1](g))
+            try:
+                t1 = timeit(m_fwd, c, r, d, d_col, dist, w)
+                t2 = timeit(m_vjp, c, r, d, d_col, dist, w, g8)
+                print("rm  R_BLK={:2d} {:9s} fwd: {:6.2f} ms   fwd+bwd: "
+                      "{:6.2f} ms".format(r_blk, cdt, t1, t2), flush=True)
+            except Exception as e:
+                print("rm  R_BLK={:2d} {} FAILED: {}".format(
+                    r_blk, cdt, str(e)[:200]), flush=True)
     fp.set_ray_block(8)
 
 
