@@ -124,7 +124,9 @@ class Dataset:
             top = (self.raw_H - self.crop_H) // 2
             image = image.crop((left, top, left + self.crop_W, top + self.crop_H))
         if opt.data.image_size[0] is not None:
-            image = image.resize((opt.W, opt.H), PIL.Image.BILINEAR)
+            # PIL's default resample (reference data/base.py:105 calls
+            # image.resize() with no resample argument -> BICUBIC)
+            image = image.resize((opt.W, opt.H), PIL.Image.BICUBIC)
         arr = np.asarray(image, dtype=np.float32) / 255.0
         if arr.ndim == 2:
             arr = arr[..., None]

@@ -42,6 +42,11 @@ class InnWarpSystem(BarfSystem):
         # embedding sized by inn.real_nvp.latent_dim (model/pose_models/inn.py:21)
         wl = opt.get("warp_latent")
         self.enc_type = wl.enc_type if wl else "l2fbarf"
+        # "reference" = the reference's ACTUAL annealed-PE computation (the
+        # window lands on the point axis; full-frequency features from step
+        # 0 — required for joint recovery, EVIDENCE_r3.md); "bands" = the
+        # windowing the paper describes (ablation only)
+        self.anneal_mode = opt.inn.real_nvp.get("anneal") or "reference"
 
     # ---------------------------------------------------------------- params
 
@@ -170,7 +175,8 @@ class InnWarpSystem(BarfSystem):
         feat = self._warp_feat(params)
         return inn.deform_forward(params["warp_mlp"], feat, pts,
                                   self.alpha_ratio(step),
-                                  multires=self.multires, actfn=self.actfn)
+                                  multires=self.multires, actfn=self.actfn,
+                                  anneal=self.anneal_mode)
 
     def get_train_pose(self, params, aux, data):
         raise RuntimeError("INN models render from warped local rays; "

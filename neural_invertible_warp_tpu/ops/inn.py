@@ -31,7 +31,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .posenc import annealed_embed, annealed_embed_dim
+from .posenc import (annealed_embed, annealed_embed_dim,
+                     annealed_embed_reference)
 
 # (focus_axis, other_axes) per (form, mode) — reference nvp_ndr.py:389-410
 _AXES = {
@@ -118,8 +119,16 @@ def init_deform_params(key, d_feature, d_hidden=128, n_blocks=3, n_layers=1,
     return dict(blocks=blocks)
 
 
-def _embed(x, multires, alpha_ratio):
+def _embed(x, multires, alpha_ratio, anneal="reference"):
+    """INN input embedding. anneal="reference" reproduces the reference's
+    ACTUAL computation — the Nerfies window lands on the POINT axis, so
+    features get full-frequency PE from step 0 (see
+    posenc.annealed_embed_reference; this is what makes joint pose+field
+    recovery work, EVIDENCE_r3.md). anneal="bands" is the windowing the
+    paper DESCRIBES (kept for ablation)."""
     if multires > 0:
+        if anneal == "reference":
+            return annealed_embed_reference(x, multires, alpha_ratio)
         return annealed_embed(x, multires, alpha_ratio)
     return x
 
@@ -129,9 +138,10 @@ def _block_code(block, code):
     return code @ block["c"]["w"] + block["c"]["b"] + code
 
 
-@partial(jax.jit, static_argnames=("multires", "actfn", "n_blocks"))
+@partial(jax.jit, static_argnames=("multires", "actfn", "n_blocks",
+                                   "anneal"))
 def deform_forward(params, code, pts, alpha_ratio, *, multires=6,
-                   actfn="softplus", n_blocks=None):
+                   actfn="softplus", n_blocks=None, anneal="reference"):
     """Warp points forward. code: [B,D]; pts: [B,N,3] -> [B,N,3]."""
     act = _activation(actfn)
     blocks = params["blocks"]
@@ -145,10 +155,12 @@ def deform_forward(params, code, pts, alpha_ratio, *, multires=6,
         focus = x[..., focus_ax:focus_ax + 1]                     # [B,N,1]
         other = jnp.stack([x[..., other_ax[0]], x[..., other_ax[1]]], axis=-1)
         # part a: shift the focus coordinate
-        h = jnp.concatenate([_embed(other, multires, alpha_ratio), code_n], axis=-1)
+        h = jnp.concatenate([_embed(other, multires, alpha_ratio, anneal),
+                             code_n], axis=-1)
         focus = focus - _apply_mlp(block["a"], h, act)
         # part b: inverse 2D rigid transform on the other pair
-        h = jnp.concatenate([_embed(focus, multires, alpha_ratio), code_n], axis=-1)
+        h = jnp.concatenate([_embed(focus, multires, alpha_ratio, anneal),
+                             code_n], axis=-1)
         out = _apply_mlp(block["b"], h, act)                      # [B,N,3]
         theta, trans = out[..., 0:1], out[..., 1:3]
         c, s = jnp.cos(theta[..., 0]), jnp.sin(theta[..., 0])
@@ -164,9 +176,10 @@ def deform_forward(params, code, pts, alpha_ratio, *, multires=6,
     return x
 
 
-@partial(jax.jit, static_argnames=("multires", "actfn", "n_blocks"))
+@partial(jax.jit, static_argnames=("multires", "actfn", "n_blocks",
+                                   "anneal"))
 def deform_inverse(params, code, pts, alpha_ratio, *, multires=6,
-                   actfn="softplus", n_blocks=None):
+                   actfn="softplus", n_blocks=None, anneal="reference"):
     """Exact inverse warp (reference nvp_ndr.py:471-567)."""
     act = _activation(actfn)
     blocks = params["blocks"]
@@ -180,14 +193,16 @@ def deform_inverse(params, code, pts, alpha_ratio, *, multires=6,
         focus = x[..., focus_ax:focus_ax + 1]                     # z'
         other = jnp.stack([x[..., other_ax[0]], x[..., other_ax[1]]], axis=-1)
         # invert part b: forward 2D rigid transform on the pair
-        h = jnp.concatenate([_embed(focus, multires, alpha_ratio), code_n], axis=-1)
+        h = jnp.concatenate([_embed(focus, multires, alpha_ratio, anneal),
+                             code_n], axis=-1)
         out = _apply_mlp(block["b"], h, act)
         theta, trans = out[..., 0:1], out[..., 1:3]
         c, s = jnp.cos(theta[..., 0]), jnp.sin(theta[..., 0])
         other = jnp.stack([c * other[..., 0] - s * other[..., 1],
                            s * other[..., 0] + c * other[..., 1]], axis=-1) + trans
         # invert part a: add the shift back
-        h = jnp.concatenate([_embed(other, multires, alpha_ratio), code_n], axis=-1)
+        h = jnp.concatenate([_embed(other, multires, alpha_ratio, anneal),
+                             code_n], axis=-1)
         focus = focus + _apply_mlp(block["a"], h, act)
         cols = [None, None, None]
         cols[focus_ax] = focus[..., 0]

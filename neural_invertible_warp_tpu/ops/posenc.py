@@ -53,6 +53,42 @@ def annealed_embed_dim(multires, input_dims):
     return input_dims * (1 + 2 * multires)
 
 
+def annealed_embed_reference(x, multires, alpha_ratio):
+    """BUG-FOR-BUG parity mode of the INN's annealed PE.
+
+    The reference's Embedder.embed (model/nvp/embedder.py:44-50) writes
+    ``output[:, slice] *= w`` intending to window frequency-band COLUMNS —
+    but the network calls it with 4-D ``(B, N, 1, d)`` inputs
+    (model/nvp/nvp_ndr.py:415,432 via input_pts.unsqueeze(2)), so the slice
+    indexes the POINT axis: point rows (2i+1)*d .. (2i+3)*d have their
+    ENTIRE feature vector (identity passthrough included) scaled by the
+    band-i window, and every other point gets full-frequency PE from step 0.
+    The coarse-to-fine anneal the paper describes never actually runs; what
+    runs is a weak early-training damping of ~24 fixed row indices (fresh
+    random rays each step). Discovered via the round-3 matched-weight
+    control runs (tools/ref_control/): the torch reference RECOVERS poses on
+    scenes where the intended band-windowing attractors, and the behavioral
+    difference bisects to exactly this (EVIDENCE_r3.md).
+
+    x: [B, N, d] -> [B, N, d*(1+2L)], scaling point rows of the N axis.
+    """
+    D = x.shape[-1]
+    N = x.shape[-2]
+    full = annealed_embed(x, multires, 1.0)        # unwindowed embed
+    i = jnp.arange(multires, dtype=x.dtype)
+    w = (1 - jnp.cos(np.pi * jnp.clip(alpha_ratio * multires - i,
+                                      0.0, 1.0))) * 0.5          # [L]
+    # row r is scaled by w[i] iff (2i+1)*D <= r < (2i+3)*D (torch slicing
+    # clips out-of-range rows; the per-band slices are disjoint)
+    row_w = jnp.ones((N,), x.dtype)
+    rows = jnp.arange(N)
+    for b in range(multires):
+        lo, hi = (2 * b + 1) * D, (2 * b + 3) * D
+        in_band = (rows >= lo) & (rows < hi)
+        row_w = row_w * jnp.where(in_band, w[b], 1.0)
+    return full * row_w[:, None]
+
+
 def annealed_embed(x, multires, alpha_ratio):
     """Nerfies-windowed PE used inside the INN warp. [...,D] -> [...,D*(1+2L)].
 

@@ -42,6 +42,9 @@ def main():
         for k in [k for k in os.environ
                   if k.startswith(("PALLAS_AXON", "AXON"))]:
             os.environ.pop(k, None)
+        # the sitecustomize may have pre-registered the axon platform
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     flags = [
         "--model={}".format(args.model),
