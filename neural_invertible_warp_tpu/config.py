@@ -113,6 +113,15 @@ def process_options(opt):
     opt.output_path = os.path.join(opt.output_root, str(opt.group), str(opt.name))
     os.makedirs(opt.output_path, exist_ok=True)
     opt.H, opt.W = opt.data.image_size
+    # On TPU, jax's DEFAULT matmul precision runs fp32 matmuls as
+    # single-pass bfloat16 — which quantizes the INN warp's full-frequency
+    # PE features enough to break joint pose+field recovery
+    # (EVIDENCE_r3.md §4). Real fp32 for the XLA path by default; the fused
+    # Pallas kernels manage their own MXU dtype (tpu.compute_dtype).
+    prec = (opt.get("tpu") or {}).get("matmul_precision", "highest")
+    if prec:
+        import jax
+        jax.config.update("jax_default_matmul_precision", str(prec))
     return opt
 
 
