@@ -71,23 +71,38 @@ _ORDER = ["W0", "W1", "W2", "W3", "W4", "W5", "W6", "W7", "Wr0", "Wr1",
           "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "br0", "br1"]
 
 
+# Kernel dots pin precision=DEFAULT explicitly: the framework sets the
+# GLOBAL jax_default_matmul_precision to 'highest' for the XLA path
+# (EVIDENCE_r3.md §4 — the INN warp needs it), and without the pin that
+# global leaks into Mosaic's dot lowering at trace time, switching the
+# in-kernel f32 matmuls to multi-pass fp32 — +2.4x matmul passes and a
+# VMEM blow-up past the 16MB scoped limit at the bench shape. DEFAULT here
+# is the kernels' round-2 behavior (bf16x3-class passes with f32
+# accumulate), whose end-to-end adequacy is pinned by the on-device parity
+# tests and the SE3-BARF recovery runs.
+_KERNEL_PRECISION = jax.lax.Precision.DEFAULT
+
+
 def _dot(a, b, cdt=jnp.float32):
     return jnp.dot(a.astype(cdt), b.astype(cdt),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=_KERNEL_PRECISION)
 
 
 def _dot_tn(a, b, cdt=jnp.float32):
     """a^T @ b without materializing the transpose (MXU contraction dims)."""
     return jax.lax.dot_general(a.astype(cdt), b.astype(cdt),
                                (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_KERNEL_PRECISION)
 
 
 def _dot_nt(a, b, cdt=jnp.float32):
     """a @ b^T without materializing the transpose."""
     return jax.lax.dot_general(a.astype(cdt), b.astype(cdt),
                                (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_KERNEL_PRECISION)
 
 
 def _forward_block(xp, view, w, keep=False, cdt=jnp.float32):

@@ -389,29 +389,56 @@ def incremental_sfm(pair_matches, intrinsics, n_images, thresh_px=2.0,
         track_obs.append({img: normalize_pixels(xy[None], intr[img])[0]
                           for img, xy in t.items()})
 
-    # 2. seed pair: most RANSAC-verified inliers
+    # 2. seed pair: RANSAC-verified inliers AND sufficient triangulation
+    # angle (COLMAP's init criterion — a near-zero-baseline neighbor pair
+    # can have the most inliers but triangulates ill-conditioned points
+    # that poison every subsequent PnP registration)
     nat = _native()
     if nat is not None:
         log.info("sfm: using native geometry core (libniw_sfm.so)")
     ransac_e = nat.ransac_essential if nat else \
         (lambda a, b, thresh, seed: ransac_essential(a, b, thresh=thresh,
                                                      seed=seed))
-    seed_pair, seed_E, seed_inl, best_n = None, None, None, 0
+    pose_from_e = nat.pose_from_essential if nat else pose_from_essential
+    candidates = []
     for (i, j), (x1, x2) in norm.items():
         E, inl = ransac_e(x1, x2, thresh=max(th[i], th[j]), seed=seed)
-        if E is not None and int(inl.sum()) > best_n:
-            seed_pair, seed_E, seed_inl, best_n = (i, j), E, inl, int(inl.sum())
+        if E is not None and int(inl.sum()) >= 8:
+            candidates.append((int(inl.sum()), (i, j), E, inl))
+    candidates.sort(key=lambda c: -c[0])
+    seed_pair = None
+    best_score = 0.0
+    for n_inl, (i, j), E, inl in candidates[:30]:
+        x1i, x2i = norm[(i, j)][0][inl], norm[(i, j)][1][inl]
+        P2, _ = pose_from_e(E, x1i, x2i)   # 2nd value differs native/python
+        if P2 is None:
+            continue
+        X = triangulate(np.eye(3, 4), P2, x1i, x2i)
+        keep = (depth_in_camera(np.eye(3, 4), X) > 0) \
+            & (depth_in_camera(P2, X) > 0)
+        if int(keep.sum()) < 8:
+            continue
+        X = X[keep]
+        # median triangulation angle over the cheirality-positive points
+        c2 = -P2[:, :3].T @ P2[:, 3]
+        r1 = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        r2 = X - c2[None]
+        r2 = r2 / np.maximum(np.linalg.norm(r2, axis=1, keepdims=True), 1e-12)
+        ang = np.degrees(np.arccos(np.clip(np.sum(r1 * r2, axis=1),
+                                           -1.0, 1.0)))
+        med_ang = float(np.median(ang))
+        score = n_inl * min(med_ang / 4.0, 1.0)   # full credit at >= 4 deg
+        if score > best_score:
+            best_score = score
+            seed_pair, seed_P2 = (i, j), P2
     if seed_pair is None:
         log.warn("sfm: no valid seed pair; returning identity poses")
         return (np.tile(np.eye(3, 4), (n_images, 1, 1)).astype(np.float32),
                 [], list(range(n_images)))
     i0, j0 = seed_pair
-    x1, x2 = norm[seed_pair]
-    if nat is not None:
-        P2, _ = nat.pose_from_essential(seed_E, x1[seed_inl], x2[seed_inl])
-    else:
-        P2, _ = pose_from_essential(seed_E, x1[seed_inl], x2[seed_inl])
-    poses = {i0: np.eye(3, 4), j0: P2}
+    log.info("sfm: seed pair {} (score {:.1f})".format(seed_pair,
+                                                       best_score))
+    poses = {i0: np.eye(3, 4), j0: seed_P2}
 
     # 3. triangulate every track observed in both seed views
     pts = {}
@@ -424,24 +451,30 @@ def incremental_sfm(pair_matches, intrinsics, n_images, thresh_px=2.0,
                     and e2[0] < 2 * th[j0]:
                 pts[tid] = X
 
-    # 4. register remaining cameras by PnP, triangulating as we go
+    # 4. register remaining cameras by PnP, triangulating as we go; a
+    # failed PnP tries the next-best candidate camera instead of aborting
+    # the whole reconstruction (a camera can fail now and register later
+    # once more of its tracks are triangulated)
     remaining = [i for i in range(n_images) if i not in poses]
     for _ in range(len(remaining)):
-        # next camera = most visible triangulated tracks
         cand = [(sum(1 for tid in pts if c in track_obs[tid]), c)
                 for c in remaining]
         cand.sort(reverse=True)
-        n_vis, cam = cand[0]
-        if n_vis < 6:
-            break
-        tids = [tid for tid in pts if cam in track_obs[tid]]
-        X = np.stack([pts[t] for t in tids])
-        x = np.stack([track_obs[t][cam] for t in tids])
-        if nat is not None:
-            P, inl = nat.ransac_pnp(X, x, thresh=2 * th[cam], seed=seed)
-        else:
-            P, inl = ransac_pnp(X, x, thresh=2 * th[cam], seed=seed)
-        if P is None:
+        cam, P = None, None
+        for n_vis, c in cand:
+            if n_vis < 6:
+                break
+            tids_c = [tid for tid in pts if c in track_obs[tid]]
+            X = np.stack([pts[t] for t in tids_c])
+            x = np.stack([track_obs[t][c] for t in tids_c])
+            if nat is not None:
+                P_c, inl = nat.ransac_pnp(X, x, thresh=2 * th[c], seed=seed)
+            else:
+                P_c, inl = ransac_pnp(X, x, thresh=2 * th[c], seed=seed)
+            if P_c is not None:
+                cam, P = c, P_c
+                break
+        if cam is None:
             break
         poses[cam] = P
         remaining.remove(cam)
