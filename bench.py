@@ -129,6 +129,10 @@ def build():
          if QUICK else []))
     opt = config.override_options(opt, over, key_stack=[], safe_check=True)
     opt.H, opt.W = H, W
+    # match the shipped default (config.process_options): fp32 XLA matmuls
+    # — required for INN training dynamics (EVIDENCE_r3.md §4), so the
+    # bench measures the configuration users actually train with
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     f = 3260.0 * W / 4032.0
     rng = np.random.RandomState(0)

@@ -157,7 +157,9 @@ class BarfSystem(NerfSystem):
                 se3, opt_state = carry
                 k_it = jax.random.fold_in(key, i)
                 k_perm, k_render = jax.random.split(k_it)
-                ray_idx = jax.random.permutation(k_perm, self.HW)[:n_rays]
+                ray_idx = sampling.sample_ray_subset(
+                    k_perm, self.HW, n_rays,
+                    mode=(opt.get("tpu") or {}).get("ray_sample", "topk"))
                 grads = jax.grad(loss_fn)(se3, ray_idx, k_render)
                 updates, opt_state = tx.update(grads, opt_state, se3)
                 return optax.apply_updates(se3, updates), opt_state

@@ -118,12 +118,15 @@ class PoseInitMixin:
             save_dir = None
             if opt.get("output_path"):
                 save_dir = os.path.join(opt.output_path, "sfm")
+            matcher_kwargs = {}
+            if sfm_cfg.get("weights_path"):   # e.g. pdcnet checkpoint
+                matcher_kwargs["weights_path"] = sfm_cfg["weights_path"]
             init, valid, excluded = colmap_init.compute_sfm_poses(
                 np.asarray(self.train_data["image"]),
                 np.asarray(self.train_data["intr"]),
                 matcher=sfm_cfg.get("matcher") or "zncc",
                 quant_px=sfm_cfg.get("quant_px") or 1.0,
-                save_dir=save_dir)
+                save_dir=save_dir, matcher_kwargs=matcher_kwargs)
             self.sfm_valid_idx = valid
             self.sfm_excluded = excluded
             log.info("SfM pose init: {} valid, excluded {}".format(

@@ -272,10 +272,12 @@ class NerfSystem:
         def step_fn(state, data, key):
             step = state["step"]
             k_perm, k_render = jax.random.split(key)
-            # one global permutation, then constrained onto the mesh: the ray
-            # batch (not the images) is the sharded axis (SURVEY.md §2.4)
-            ray_idx = mesh_lib.shard_rays(
-                jax.random.permutation(k_perm, self.HW)[:n_rays])
+            # one global distinct-uniform ray draw (tpu.ray_sample), then
+            # constrained onto the mesh: the ray batch (not the images) is
+            # the sharded axis (SURVEY.md §2.4)
+            ray_idx = mesh_lib.shard_rays(sampling.sample_ray_subset(
+                k_perm, self.HW, n_rays,
+                mode=(opt.get("tpu") or {}).get("ray_sample", "topk")))
 
             def loss_fn(params):
                 out, target, extras = self._forward_train(

@@ -37,6 +37,25 @@ def sample_depth(key, batch_size, num_rays, num_samples, depth_range,
     return depth
 
 
+def sample_ray_subset(key, n_total, n_pick, mode="topk"):
+    """Uniform random n_pick-subset of range(n_total), distinct.
+
+    mode "permutation" is the reference's randperm(HW)[:n] (model/nerf.py
+    ray sampling) — on TPU that lowers to a full O(HW log HW) sort
+    (~0.8 ms/step at 480x640 for a 56-ray draw, profiled). mode "topk"
+    draws the SAME distribution (every n_pick-subset equally likely, order
+    uniform) as the indices of the top-k of HW iid uniforms — one O(HW)
+    pass.
+    """
+    if mode == "permutation":
+        return jax.random.permutation(key, n_total)[:n_pick]
+    if mode != "topk":
+        raise ValueError("unknown ray_sample mode: {}".format(mode))
+    u = jax.random.uniform(key, (n_total,))
+    _, idx = jax.lax.top_k(u, n_pick)
+    return idx
+
+
 def sample_depth_from_pdf(pdf, num_samples, num_samples_fine, depth_range,
                           dtype=jnp.float32):
     """Deterministic inverse-transform sampling from per-ray PDFs.

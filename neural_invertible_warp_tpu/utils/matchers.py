@@ -27,6 +27,45 @@ def exhaustive_pairs(n):
     return [(i, j) for i in range(n) for j in range(i + 1, n)]
 
 
+def retrieval_pairs(images, num_neighbors=8, thumb=(24, 32)):
+    """Appearance-retrieval pair proposal: each image is linked to its
+    `num_neighbors` most-similar images by normalized-thumbnail
+    correlation — a classical, weight-free stand-in for the retrieval
+    stage (NetVLAD top-k) that hloc pipelines put in front of matching.
+
+    Besides the O(N^2) -> O(N*k) matching-cost cut, retrieval pruning is
+    an ACCURACY filter: low-overlap pairs produce predominantly wrong
+    matches that still pass epipolar verification when the scene carries
+    repetitive structure (measured on the DTU-scale fixture: ~85% wrong
+    matches on the widest verified pairs), and those links poison
+    multi-view tracks. Appearance similarity removes them before they are
+    ever matched — on the 49-view fixture this alone improves the final
+    reconstruction from ~6.0 to 1.4 deg mean rotation error
+    (tests/test_sfm_scale.py).
+    """
+    descs = []
+    th, tw = thumb
+    for im in images:
+        g = _to_gray(im)
+        H, W = g.shape
+        bh, bw = max(1, H // th), max(1, W // tw)
+        g = g[:bh * (H // bh), :bw * (W // bw)]
+        d = g.reshape(H // bh, bh, W // bw, bw).mean(axis=(1, 3)).ravel()
+        d = d - d.mean()
+        n = np.linalg.norm(d)
+        descs.append(d / n if n > 1e-9 else d)
+    # thumbnails can differ in shape if inputs do; crop to common length
+    L = min(len(d) for d in descs)
+    D = np.stack([d[:L] for d in descs])
+    S = D @ D.T
+    np.fill_diagonal(S, -np.inf)
+    pairs = set()
+    for i in range(len(images)):
+        for j in np.argsort(S[i])[::-1][:num_neighbors]:
+            pairs.add((min(i, int(j)), max(i, int(j))))
+    return sorted(pairs)
+
+
 def _to_gray(img):
     img = np.asarray(img, np.float64)
     if img.ndim == 3:
@@ -66,21 +105,50 @@ def _harris_corners(gray, k=0.05, n_corners=300, nms=5):
                  max(0, x - nms):x + nms + 1].any():
             continue
         taken[y, x] = True
-        corners.append((x, y))
+        # Subpixel localization: 1-D quadratic fits through the Harris
+        # response's central cross. Integer detections carry ~0.5 px of
+        # quantization noise per image (~1.5 px per match after ZNCC),
+        # which leaves two-view relative rotations ~2.4 deg uncertain —
+        # too coarse to seed incremental SfM (tests/test_sfm_scale.py).
+        # Refinement must happen per DETECTION (one position per image),
+        # not per match: a pair-dependent position makes the same corner
+        # land on different track-graph nodes in different pairs, and the
+        # conflict-aware union-find then rejects the merges wholesale.
+        dx = dy = 0.0
+        den_x = R[y, x - 1] - 2.0 * R[y, x] + R[y, x + 1]
+        if np.isfinite(den_x) and den_x < -1e-12:
+            dx = float(np.clip(0.5 * (R[y, x - 1] - R[y, x + 1]) / den_x,
+                               -0.5, 0.5))
+        den_y = R[y - 1, x] - 2.0 * R[y, x] + R[y + 1, x]
+        if np.isfinite(den_y) and den_y < -1e-12:
+            dy = float(np.clip(0.5 * (R[y - 1, x] - R[y + 1, x]) / den_y,
+                               -0.5, 0.5))
+        corners.append((x + dx, y + dy))
         if len(corners) >= n_corners:
             break
     return np.array(corners, np.float64).reshape(-1, 2)
 
 
-def _patches(gray, kps, r):
-    """Extract normalized patches at integer keypoints. -> [N, (2r+1)^2]"""
+def _patches(img, kps, r):
+    """Extract normalized patches at the nearest-integer keypoint positions.
+
+    img may be [H,W] gray or [H,W,C] color -> [N, (2r+1)^2 * C]. Color
+    patches matter: descriptors built on luminance alone cannot tell apart
+    same-shape features that differ only chromatically (measured on the
+    DTU-scale fixture: ~20% of multi-view track observations were wrong
+    links between look-alike gray blobs; RGB patches cut the confusion an
+    order of magnitude — tests/test_sfm_scale.py)."""
+    img = np.asarray(img, np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    C = img.shape[2]
     out = []
-    for x, y in kps.astype(int):
-        p = gray[y - r:y + r + 1, x - r:x + r + 1].ravel()
-        p = p - p.mean()
+    for x, y in np.round(kps).astype(int):
+        p = img[y - r:y + r + 1, x - r:x + r + 1].reshape(-1, C)
+        p = (p - p.mean(axis=0)).ravel()   # zero-mean per channel
         n = np.linalg.norm(p)
         out.append(p / n if n > 1e-9 else p)
-    return np.stack(out) if out else np.zeros((0, (2 * r + 1) ** 2))
+    return np.stack(out) if out else np.zeros((0, (2 * r + 1) ** 2 * C))
 
 
 class ZnccMatcher:
@@ -91,10 +159,20 @@ class ZnccMatcher:
     Harris per PAIR made 49-view DTU-scale matching ~24x more expensive
     than necessary)."""
 
-    def __init__(self, n_corners=300, patch_radius=6, min_score=0.7):
+    def __init__(self, n_corners=300, patch_radius=6, min_score=0.7,
+                 ratio_margin=0.03, color=True):
         self.n_corners = n_corners
         self.r = patch_radius
         self.min_score = min_score
+        # descriptors from RGB patches (Harris stays on luminance); see
+        # _patches — gray descriptors confuse same-shape features that
+        # differ only in color
+        self.color = color
+        # Lowe-style distinctiveness: reject a mutual-best match whose
+        # second-best ZNCC score is within `ratio_margin` of the best —
+        # indistinct matches are the wrong-link source that corrupts
+        # multi-view tracks (see utils/sfm.py TrackGraph)
+        self.ratio_margin = ratio_margin
         self._cache = {}
 
     def _features(self, idx, img):
@@ -104,10 +182,12 @@ class ZnccMatcher:
         k = _harris_corners(g, n_corners=self.n_corners, nms=self.r)
         if len(k):   # keep corners whose full patch is in-bounds
             H, W = g.shape
-            ok = (k[:, 0] >= self.r) & (k[:, 0] < W - self.r) \
-                & (k[:, 1] >= self.r) & (k[:, 1] < H - self.r)
+            kr = np.round(k)
+            ok = (kr[:, 0] >= self.r) & (kr[:, 0] < W - self.r) \
+                & (kr[:, 1] >= self.r) & (kr[:, 1] < H - self.r)
             k = k[ok]
-        p = _patches(g, k, self.r) if len(k) else None
+        desc_img = img if (self.color and np.asarray(img).ndim == 3) else g
+        p = _patches(desc_img, k, self.r) if len(k) else None
         self._cache[idx] = (k, p)
         return k, p
 
@@ -121,14 +201,22 @@ class ZnccMatcher:
         S = np.asarray(jnp.asarray(p1) @ jnp.asarray(p2).T)   # [N1,N2]
         best12 = S.argmax(axis=1)
         best21 = S.argmax(axis=0)
+        # second-best along each row (for the distinctiveness margin)
+        if S.shape[1] >= 2:
+            part = np.partition(S, -2, axis=1)
+            second12 = part[:, -2]
+        else:
+            second12 = np.full(S.shape[0], -np.inf)
         keep = []
         for a, b in enumerate(best12):
-            if best21[b] == a and S[a, b] >= self.min_score:
+            if best21[b] == a and S[a, b] >= self.min_score \
+                    and S[a, b] - second12[a] >= self.ratio_margin:
                 keep.append((a, b))
         if not keep:
             return np.zeros((0, 2)), np.zeros((0, 2))
         ia, ib = zip(*keep)
-        return k1[list(ia)], k2[list(ib)]
+        return k1[list(ia)].astype(np.float64), \
+            k2[list(ib)].astype(np.float64)
 
 
 class SyntheticGTMatcher:

@@ -283,6 +283,17 @@ def analytic_blob_render(pose_w2c, intr, H, W, blob, n_samples=192,
         sigma = jnp.sum(w, axis=-1)
         wc = w_raw + 1e-8
         rgb = jnp.sum(wc[..., None] * c, axis=-2) / jnp.sum(wc, -1)[..., None]
+        if "tex" in blob:
+            # 3-D color texture on the blob bodies (corner-rich surface
+            # detail for matcher tests; without it blob matches are
+            # texture-free and all correspondences come from the coplanar
+            # backdrop -> planar-degenerate two-view geometry)
+            fx, fy, fz = (float(v) for v in blob["tex"]["freq"])
+            amp = float(blob["tex"]["amp"])
+            mod = 1.0 + amp * jnp.sin(fx * pts[..., 0]) \
+                * jnp.sin(fy * pts[..., 1] + 1.3) \
+                * jnp.sin(fz * pts[..., 2] + 2.1)
+            rgb = rgb * mod[..., None]
         out_rgb, _, opac, _ = render.composite(ray, rgb, sigma, depth)
         if backdrop is None:
             return out_rgb + bgcolor * (1 - opac)
@@ -304,6 +315,17 @@ def analytic_blob_render(pose_w2c, intr, H, W, blob, n_samples=192,
             amp = float(backdrop["amps"][o])
             col = col + amp * jnp.sin(uu[..., None] * f[:, 0]
                                       + vv[..., None] * f[:, 1] + ph)
+        if "spot_uv" in backdrop:
+            # 2-D corner-rich texture: Gaussian color spots on the wall
+            # (sinusoid stripes alone are 1-D texture — a patch matcher
+            # slides along them, the aperture problem)
+            suv = jnp.asarray(backdrop["spot_uv"])      # [K,2]
+            ss = jnp.asarray(backdrop["spot_s"])        # [K]
+            sc = jnp.asarray(backdrop["spot_c"])        # [K,3]
+            d2s = (uu[..., None] - suv[:, 0]) ** 2 \
+                + (vv[..., None] - suv[:, 1]) ** 2      # [...,K]
+            wspot = jnp.exp(-0.5 * d2s / ss ** 2)
+            col = col + jnp.sum(wspot[..., None] * sc, axis=-2)
         col = jnp.clip(col, 0.02, 0.98)
         return out_rgb + col * (1 - opac)
 
