@@ -38,17 +38,35 @@ def sample_depth(key, batch_size, num_rays, num_samples, depth_range,
 
 
 def sample_ray_subset(key, n_total, n_pick, mode="topk"):
-    """Uniform random n_pick-subset of range(n_total), distinct.
+    """Random n_pick-subset of range(n_total), distinct.
 
     mode "permutation" is the reference's randperm(HW)[:n] (model/nerf.py
     ray sampling) — on TPU that lowers to a full O(HW log HW) sort
     (~0.8 ms/step at 480x640 for a 56-ray draw, profiled). mode "topk"
     draws the SAME distribution (every n_pick-subset equally likely, order
-    uniform) as the indices of the top-k of HW iid uniforms — one O(HW)
-    pass.
+    uniform) as the indices of the top-k of HW iid uniforms — XLA:TPU still
+    lowers top_k to a sort (~0.38 ms/step profiled), but of one array
+    instead of permutation's key+value pair. mode "stratified" is the
+    TPU-native sort-free draw: partition range(n_total) into n_pick equal
+    strata and pick one index uniformly per stratum — O(n_pick) arithmetic,
+    no sort. Its law differs from randperm (marginals are uniform and draws
+    are distinct, but two indices from one stratum never co-occur in a
+    step); for pixel-ray sampling that is classic stratified sampling, a
+    variance REDUCTION over iid draws, not a defect — every pixel is still
+    visited with equal frequency across steps.
     """
     if mode == "permutation":
         return jax.random.permutation(key, n_total)[:n_pick]
+    if mode == "stratified":
+        # equal strata via fixed-point scaling: floor(i * n_total / n_pick)
+        # boundaries cover range(n_total) exactly even when n_pick doesn't
+        # divide n_total; draw u in [start_i, start_{i+1})
+        i = jnp.arange(n_pick + 1, dtype=jnp.int64 if n_total > 2**31
+                       else jnp.int32)
+        bounds = (i * n_total) // n_pick
+        lo, hi = bounds[:-1], bounds[1:]
+        u = jax.random.uniform(key, (n_pick,))
+        return (lo + (u * (hi - lo)).astype(lo.dtype)).astype(jnp.int32)
     if mode != "topk":
         raise ValueError("unknown ray_sample mode: {}".format(mode))
     u = jax.random.uniform(key, (n_total,))

@@ -122,3 +122,58 @@ def test_composite_background_color():
                                          setbg_opaque=True, bgcolor=1.0)
     np.testing.assert_allclose(np.asarray(op[0, 0]), [0.0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_rgb[0, 0]), [1, 1, 1], atol=1e-6)
+
+
+def test_ray_subset_distinct_and_uniform():
+    """tpu.ray_sample=topk draws a distinct uniform subset with the same
+    law as randperm(HW)[:n] (the reference's ray sampling), in one O(HW)
+    pass instead of a full sort."""
+    n_total, n_pick = 120, 16
+    key = jax.random.PRNGKey(0)
+    counts = np.zeros(n_total)
+    n_draws = 400
+    for d in range(n_draws):
+        idx = np.asarray(sampling.sample_ray_subset(
+            jax.random.fold_in(key, d), n_total, n_pick, mode="topk"))
+        assert idx.shape == (n_pick,)
+        assert len(set(idx.tolist())) == n_pick          # distinct
+        assert idx.min() >= 0 and idx.max() < n_total
+        counts[idx] += 1
+    # each index appears with p = n_pick/n_total; 400 draws -> mean 53.3,
+    # sd ~6.9; bound at +-5 sd
+    expect = n_draws * n_pick / n_total
+    sd = np.sqrt(n_draws * (n_pick / n_total) * (1 - n_pick / n_total))
+    assert np.all(np.abs(counts - expect) < 5 * sd), (
+        counts.min(), counts.max())
+
+    # permutation mode: same contract
+    idx = np.asarray(sampling.sample_ray_subset(
+        key, n_total, n_pick, mode="permutation"))
+    assert idx.shape == (n_pick,)
+    assert len(set(idx.tolist())) == n_pick
+
+
+def test_ray_subset_stratified():
+    """Sort-free stratified mode: distinct, one per stratum, uniform
+    marginals; strata tile range(n_total) exactly even when n_pick does not
+    divide n_total."""
+    n_total, n_pick = 123, 16          # non-divisible on purpose
+    key = jax.random.PRNGKey(3)
+    bounds = (np.arange(n_pick + 1) * n_total) // n_pick
+    counts = np.zeros(n_total)
+    n_draws = 400
+    for d in range(n_draws):
+        idx = np.asarray(sampling.sample_ray_subset(
+            jax.random.fold_in(key, d), n_total, n_pick, mode="stratified"))
+        assert idx.shape == (n_pick,)
+        assert len(set(idx.tolist())) == n_pick
+        # exactly one index inside each stratum
+        for i in range(n_pick):
+            assert bounds[i] <= idx[i] < bounds[i + 1], (i, idx[i])
+        counts[idx] += 1
+    # marginal rate: index j in stratum of width w appears w.p. 1/w per draw
+    widths = np.diff(bounds)
+    expect = n_draws / widths[np.searchsorted(bounds, np.arange(n_total),
+                                              side="right") - 1]
+    sd = np.sqrt(expect)
+    assert np.all(np.abs(counts - expect) < 5 * np.maximum(sd, 1.0))
