@@ -27,6 +27,11 @@ import time
 import numpy as np
 
 A100_BASELINE_RAYS_PER_SEC = 10_000.0   # engineering ESTIMATE, not measured
+# measured on THIS box (r3): the unmodified reference via
+# tools/ref_control/run_ref.py, torch 2.13 fp32 CPU, paper LLFF config —
+# 17.3 s/step = 118 rays/s (BASELINE.md "Measured anchor"). Weak (the
+# reference targets CUDA) but measured; reported alongside the estimate.
+TORCH_CPU_MEASURED_RAYS_PER_SEC = 118.0
 
 # per-chip peak dense-matmul TFLOP/s by device kind (bf16 with f32 accum);
 # fp32 runs at a fraction of this on the MXU, so fp32 MFU vs the bf16 peak
@@ -179,7 +184,11 @@ def main():
     for c in range(BENCH_STEPS // STEPS_PER_CALL):
         state, metrics = system.train_multi_step(
             state, keys_for(WARMUP_STEPS + c * STEPS_PER_CALL))
-        float(metrics["loss_all"])
+    # dispatches are async: sync ONCE after the full chain so the ~130 ms
+    # axon-tunnel round trip is paid once, not per chunk — this measures
+    # steady-state device throughput (the earlier per-chunk float() sync
+    # inflated step time by ~2.7 ms/step at spc=50, profiled r3)
+    float(metrics["loss_all"])
     dt = time.time() - t0
 
     steps_per_sec = BENCH_STEPS / dt
@@ -201,8 +210,12 @@ def main():
         "vs_baseline": round(value / A100_BASELINE_RAYS_PER_SEC, 3),
         "baseline_note": "vs_baseline divides by a 10k rays/s ENGINEERING "
                          "ESTIMATE of the reference on A100 (never measured "
-                         "by the reference); tflops/mfu are the absolute "
-                         "numbers",
+                         "by the reference); vs_torch_cpu_measured divides "
+                         "by the reference actually run on this box (118 "
+                         "rays/s, torch-CPU, BASELINE.md); tflops/mfu are "
+                         "the absolute numbers",
+        "vs_torch_cpu_measured": round(
+            value / TORCH_CPU_MEASURED_RAYS_PER_SEC, 1),
         "step_ms": round(1000.0 / steps_per_sec, 3),
         "flops_per_step": flops_per_step,
         "flops_source": flops_source,

@@ -170,7 +170,10 @@ class NerfSystem:
         """
         opt = self.opt
         B, R = center.shape[0], center.shape[1]
-        k_depth, k_noise = jax.random.split(key)
+        if key.ndim == 2:       # pre-split [2,2] pair (train_multi_step —
+            k_depth, k_noise = key[0], key[1]   # one batched threefry per
+        else:                   # scan chunk instead of ~165 us/step of
+            k_depth, k_noise = jax.random.split(key)   # tiny in-body splits
         stratified = opt.nerf.sample_stratified and mode == "train"
         depth_range = depth_range if depth_range is not None else tuple(opt.nerf.depth.range)
         depth = sampling.sample_depth(
@@ -206,26 +209,46 @@ class NerfSystem:
             density_noise_reg=opt.nerf.get("density_noise_reg") if mode == "train" else None,
             noise_key=k_noise,
         )
-        rgb_s, dens = self.apply_field_samples(
-            params["nerf"], center, ray, depth, **common)
-        rgb, d, opac, prob = render.composite(
-            ray, rgb_s, dens, depth,
-            setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
-            bgcolor=opt.data.get("bgcolor"))
+        rgb, d, opac, prob = self._field_composite(
+            params["nerf"], center, ray, depth, common)
         out = dict(rgb=rgb, depth=d, opacity=opac)
         if opt.nerf.fine_sampling:
-            pdf = jax.lax.stop_gradient(prob[..., 0])
+            pdf = jax.lax.stop_gradient(prob)
             depth_fine = sampling.sample_depth_from_pdf(
                 pdf, opt.nerf.sample_intvs, opt.nerf.sample_intvs_fine, depth_range)
             depth_all = jnp.sort(jnp.concatenate([depth, depth_fine], axis=2), axis=2)
-            rgb_s, dens = self.apply_field_samples(
-                params["nerf_fine"], center, ray, depth_all, **common)
-            rgb_f, d_f, opac_f, _ = render.composite(
-                ray, rgb_s, dens, depth_all,
-                setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
-                bgcolor=opt.data.get("bgcolor"))
+            rgb_f, d_f, opac_f, _ = self._field_composite(
+                params["nerf_fine"], center, ray, depth_all, common)
             out.update(rgb_fine=rgb_f, depth_fine=d_f, opacity_fine=opac_f)
         return out
+
+    def _field_composite(self, field_params, center, ray, depth, common):
+        """Field eval + alpha compositing. On the PE-fused kernel path the
+        channels stay separated ([B,R,K] each, lane-dense) through
+        ``render.composite_soa`` — the AoS [B,R,K,3]/[N,4] shapes put the
+        channel axis on the 128-lane minor dim, whose tile padding made the
+        compositing glue ~1.9 ms/step at the bench shape (r3 profile).
+
+        Returns (rgb [B,R,3], depth [B,R,1], opacity [B,R,1], prob [B,R,N]).
+        """
+        opt = self.opt
+        bg = dict(setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
+                  bgcolor=opt.data.get("bgcolor"))
+        if (self._use_fused_field() == "pe"
+                and not common.get("density_noise_reg")):
+            from ..ops.pallas import fused_pe
+            if fused_pe.supports(self.arch, opt.nerf,
+                                 sample_intvs=depth.shape[2]):
+                kw = {k: v for k, v in common.items()
+                      if k not in ("density_noise_reg", "noise_key")}
+                chans, dens = fused_pe.fused_apply_nerf_samples_pe_soa(
+                    field_params, self.arch, center, ray, depth,
+                    compute_dtype=self._kernel_compute_dtype(), **kw)
+                return render.composite_soa(ray, chans, dens, depth, **bg)
+        rgb_s, dens = self.apply_field_samples(
+            field_params, center, ray, depth, **common)
+        rgb, d, opac, prob = render.composite(ray, rgb_s, dens, depth, **bg)
+        return rgb, d, opac, prob[..., 0]
 
     # ---------------------------------------------------------------- losses
 
@@ -271,7 +294,11 @@ class NerfSystem:
 
         def step_fn(state, data, key):
             step = state["step"]
-            k_perm, k_render = jax.random.split(key)
+            if key.ndim == 2:   # pre-split [3,2] (see train_multi_step)
+                k_perm = key[0]
+                k_render = key[1:]          # [2,2] consumed by render_rays
+            else:
+                k_perm, k_render = jax.random.split(key)
             # one global distinct-uniform ray draw (tpu.ray_sample), then
             # constrained onto the mesh: the ray batch (not the images) is
             # the sharded axis (SURVEY.md §2.4)
@@ -319,14 +346,30 @@ class NerfSystem:
             step_fn = self.make_train_step()
 
             def scan_fn(state, data, keys):
+                # pre-split every step's key chain in ONE batched threefry
+                # (k_perm; k_depth; k_noise) — bit-identical to the in-body
+                # split(key) -> split(k_render) chain, ~165 us/step cheaper
+                def presplit(k):
+                    k_perm, k_render = jax.random.split(k)
+                    return jnp.concatenate(
+                        [k_perm[None], jax.random.split(k_render)], axis=0)
+                keys = jax.vmap(presplit)(keys)          # [spc,3,2]
+
                 def body(carry, k):
                     new_state, metrics = step_fn(carry, data, k)
-                    return new_state, metrics
-                state, metrics = jax.lax.scan(body, state, keys)
-                return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+                    # pack the per-step scalars into ONE vector: scan stacks
+                    # each output leaf with its own dynamic_update_slice per
+                    # iteration, and ~10 scalar dus ops cost ~0.27 ms/step on
+                    # TPU (profiled) vs one [M]-vector dus
+                    names = sorted(metrics)
+                    self._scan_metric_names = names   # static at trace time
+                    return new_state, jnp.stack([metrics[n] for n in names])
+                state, stacked = jax.lax.scan(body, state, keys)
+                return state, stacked[-1]
 
             self._train_scan_jit = jax.jit(scan_fn)
-        return self._train_scan_jit(state, self.train_data, keys)
+        state, last = self._train_scan_jit(state, self.train_data, keys)
+        return state, dict(zip(self._scan_metric_names, last))
 
     # ----------------------------------------------------------- eval render
 

@@ -50,13 +50,22 @@ D_VIEW = ff.D_VIEW      # 32
 
 R_BLK = 8               # rays per grid step (n = R_BLK * K points);
                         # Mosaic requires sublane block dims divisible by 8
-MLP_SUB = 256           # backward recompute sub-chunk (VMEM: the 8-layer
-                        # activation cache must not hold n=1024 points)
+                        # (r3 sweep: 16 is slower, 32 fails to compile)
+MLP_SUB = 512           # backward recompute sub-chunk. VMEM bound: the
+                        # 8-layer activation cache is ~3296 cols x SUB x 4B
+                        # (6.8 MB at 512); 1024 fails to compile. r3 sweep on
+                        # v5e: 512 beats 256 by 0.64 ms fwd+bwd at 2048x128
+                        # (fewer chunk-loop iterations, larger matmuls)
 
 
 def set_ray_block(r_blk):
     global R_BLK
     R_BLK = int(r_blk)
+
+
+def set_mlp_sub(n):
+    global MLP_SUB
+    MLP_SUB = int(n)
 
 
 def _pe_constants(L, d_pad):
@@ -347,6 +356,49 @@ def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
     return rgb, density
 
 
+def fused_apply_nerf_samples_pe_soa(params, arch, center, ray, depth, *,
+                                    view_dep=True, density_activ="softplus",
+                                    progress=None, barf_c2f=None,
+                                    density_noise_reg=None, noise_key=None,
+                                    interpret=False, compute_dtype="float32"):
+    """Channel-separated (SoA) variant of fused_apply_nerf_samples_pe.
+
+    Returns ((r, g, b) each [B,R,K], density [B,R,K]) for
+    ops.render.composite_soa. Rationale: the AoS return shapes put 3/4
+    channels on the 128-lane minor axis, so every downstream XLA op runs on
+    tensors physically padded 3->128 lanes ([N,4] at the bench shape is
+    132 MB of tile traffic for 4 MB of data) — ~1.9 ms/step of compositing
+    glue, profiled r3. Here the [N,4] kernel output is read ONCE (one fused
+    4-way column split) into lane-dense [B,R,K] per-channel arrays; the
+    backward re-assembles the [N,4] cotangent in one fused write.
+    """
+    assert density_activ == "softplus" and view_dep
+    if density_noise_reg:
+        raise NotImplementedError("density_noise_reg with fused PE kernel")
+    B, R_img = center.shape[0], center.shape[1]
+    K = depth.shape[2]
+    n_rays = B * R_img
+    c = center.reshape(n_rays, 3)
+    r = ray.reshape(n_rays, 3)
+    d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
+    pad = (-n_rays) % R_BLK
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
+        r = jnp.concatenate(
+            [r, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], r.dtype), (pad, 1))],
+            axis=0)
+        d = jnp.concatenate([d, jnp.ones((pad, K), d.dtype)], axis=0)
+    masks = tuple(jax.lax.stop_gradient(m)
+                  for m in pe_mask_rows(progress if progress is not None
+                                        else 1.0, barf_c2f))
+    out = fused_mlp_pe(c, r, d, interpret, compute_dtype, masks,
+                       ff.pack_weights(params))
+    out = out[:n_rays * K]
+    chans = tuple(out[:, ch].reshape(B, R_img, K) for ch in range(3))
+    density = out[:, 3].reshape(B, R_img, K)
+    return chans, density
+
+
 def supports(arch, opt_nerf, sample_intvs=None):
     """Whether the PE-fused kernel covers this configuration."""
     if not ff.supports(arch, opt_nerf):
@@ -356,11 +408,53 @@ def supports(arch, opt_nerf, sample_intvs=None):
 
 
 # ---------------------------------------------------------------------------
-# fully-fused variant: + alpha compositing in-kernel (round-2 retry of
-# raymarch.py on the fused_pe layout — the per-sample field values never
-# reach HBM either; per-point weighted contributions [n,8] come out and the
-# per-ray sum is one cheap XLA reduction)
+# fully-fused variant: + alpha compositing in-kernel, per-RAY [R,8] outputs
+# (r3 rework; the r2 version emitted per-point [n,8] contributions and read
+# [n,1] dist/depth columns — every such [N,small] tensor is lane-padded
+# small->128 on TPU, 132-264 MB of physical tile traffic per step at the
+# bench shape, and the XLA-side column splits/assemblies around the r2
+# fused_pe path cost ~2.4 ms/step, profiled. Here NOTHING [N,*]-shaped
+# crosses the kernel boundary: quadrature (intv * ||ray||) happens in-kernel
+# from depth [R,K], and the [R,K] lane-space <-> [n,1] sublane-column
+# shape-cast Mosaic lacks is expressed as identity-matrix MXU dots)
 # ---------------------------------------------------------------------------
+
+
+def _cast_row_to_col(I, row):
+    """[1,K] lane vector -> [K,1] sublane column via an MXU identity dot
+    (Mosaic has no lanes<->sublanes relayout; the dot reduction against a
+    one-hot row adds exactly one zero-product per output and is fp-exact)."""
+    return ff._dot_nt(I, row)
+
+
+def _rows_to_cols(I, mat, rays_blk):
+    """[R,K] -> [R*K,1] row-major column (per-ray MXU transposes)."""
+    return jnp.concatenate(
+        [_cast_row_to_col(I, mat[r:r + 1]) for r in range(rays_blk)], axis=0)
+
+
+def _per_ray_sums(vals, rays_blk, K):
+    """[R*K,C] -> [R,C]: sum each ray's K contiguous rows (sublane reduce)."""
+    return jnp.concatenate(
+        [jnp.sum(vals[r * K:(r + 1) * K], axis=0, keepdims=True)
+         for r in range(rays_blk)], axis=0)
+
+
+def _broadcast_rows(g, rays_blk, K):
+    """[R,C] -> [R*K,C]: repeat each ray row K times (sublane broadcast)."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(g[r:r + 1], (K, g.shape[1]))
+         for r in range(rays_blk)], axis=0)
+
+
+def _quadrature(ray, depth):
+    """In-kernel dist/raylen: intv_i = d_{i+1}-d_i (last 1e10), scaled by
+    ||ray|| (ops/render.py::composite semantics). Returns ([R,K], [R,1])."""
+    intv = jnp.concatenate(
+        [depth[:, 1:] - depth[:, :-1],
+         jnp.full_like(depth[:, :1], 1e10)], axis=1)
+    ray_len = jnp.sqrt(jnp.sum(ray * ray, axis=1, keepdims=True))
+    return intv * ray_len, ray_len
 
 def _prefix_mat_lower(K):
     """[K,K] strict lower triangular: (L @ s_r)[i] = sum_{j<i} s_r[j].
@@ -397,9 +491,9 @@ def _prefix_blockdiag_t(L, g, rays_blk, K):
         axis=0)
 
 
-def _rm_fwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
-                      dist_ref, mid3_ref, ws3_ref, wc3_ref, midv_ref,
-                      wsv_ref, wcv_ref, F3_ref, Fv_ref, L_ref, *wrefs):
+def _rm_fwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
+                      ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
+                      F3_ref, Fv_ref, L_ref, I_ref, *wrefs):
     out_ref = wrefs[-1]
     w = {name: wrefs[i][:] for i, name in enumerate(ff._ORDER)}
     center, ray, depth = center_ref[:], ray_ref[:], depth_ref[:]
@@ -410,27 +504,29 @@ def _rm_fwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
     out4, _ = ff._forward_block(xp, vi, w, cdt=cdt)
     rgb = out4[:, :3]
     sigma = out4[:, 3:4]
-    dist = dist_ref[:]
-    d_col = d_col_ref[:]
+    R, K = depth.shape
+    I = I_ref[:]
+    dist_rk, _ = _quadrature(ray, depth)
+    dist = _rows_to_cols(I, dist_rk, R)                        # [n,1]
+    d_col = _rows_to_cols(I, depth, R)                         # [n,1]
     s = sigma * dist
     alpha = 1.0 - jnp.exp(-s)
-    R, K = depth.shape
     prefix = _prefix_blockdiag(L_ref[:], s, R, K)
     wgt = jnp.exp(-prefix) * alpha                             # [n,1]
     n = xp.shape[0]
-    out_ref[:] = jnp.concatenate(
+    contrib = jnp.concatenate(
         [wgt * rgb, wgt * d_col, wgt,
          jnp.zeros((n, 3), jnp.float32)], axis=-1)             # [n,8]
+    out_ref[:] = _per_ray_sums(contrib, R, K)                  # [R,8]
 
 
-def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
-                      dist_ref, mid3_ref, ws3_ref, wc3_ref, midv_ref,
-                      wsv_ref, wcv_ref, F3_ref, Fv_ref, L_ref, g_ref,
-                      *refs):
+def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
+                      ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
+                      F3_ref, Fv_ref, L_ref, I_ref, g_ref, *refs):
     w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
     n_w = len(ff._ORDER)
-    dcenter_ref, dray_ref, ddist_ref = refs[n_w], refs[n_w + 1], refs[n_w + 2]
-    dw_refs = {name: refs[n_w + 3 + i] for i, name in enumerate(ff._ORDER)}
+    dcenter_ref, dray_ref = refs[n_w], refs[n_w + 1]
+    dw_refs = {name: refs[n_w + 2 + i] for i, name in enumerate(ff._ORDER)}
 
     step = pl.program_id(0)
 
@@ -452,10 +548,12 @@ def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
     R, K = depth.shape
     n = R * K
 
-    dist = dist_ref[:]
-    d_col = d_col_ref[:]
+    I = I_ref[:]
+    dist_rk, ray_len = _quadrature(ray, depth)
+    dist = _rows_to_cols(I, dist_rk, R)                        # [n,1]
+    d_col = _rows_to_cols(I, depth, R)                         # [n,1]
     L = L_ref[:]
-    g_pt = g_ref[:]
+    g_pt = _broadcast_rows(g_ref[:], R, K)                     # [n,8]
 
     # One fused pass per sub-chunk: forward (kept), composite backward, MLP
     # backward reusing the SAME activation cache. Chunks hold whole rays
@@ -466,7 +564,7 @@ def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
     while R % m:     # chunks must tile the block exactly (static shapes)
         m -= 1
     sub = m * K
-    dxp_parts, dview_parts, ddist_parts = [], [], []
+    dxp_parts, dview_parts, gdist_parts = [], [], []
     for s0 in range(0, n, sub):
         sl = slice(s0, s0 + sub)
         fwd = ff._forward_block(xp[sl], vi[sl], w, keep=True, cdt=cdt)
@@ -480,8 +578,8 @@ def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
         T = jnp.exp(-prefix)
         wgt = T * alpha
 
-        # composite backward (per-point cotangents g [n,8]; the outside
-        # per-ray sum broadcasts its cotangent to every sample row)
+        # composite backward (the per-ray output sum broadcasts its
+        # cotangent row to every sample row — g_pt above)
         gr, gd, go = g_pt[sl, :3], g_pt[sl, 3:4], g_pt[sl, 4:5]
         g_wgt = jnp.sum(gr * rgb, axis=-1, keepdims=True) \
             + gd * d_col[sl] + go
@@ -490,14 +588,19 @@ def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
         g_prefix = -(g_wgt * alpha) * T
         g_s = g_alpha * jnp.exp(-s) + _prefix_blockdiag_t(L, g_prefix,
                                                           r_sub, K)
-        ddist_parts.append(g_s * sigma)   # dist chain (-> ||ray||) outside
+        gdist_parts.append(g_s * sigma)   # dist cotangent (-> ||ray|| chain)
         g4 = jnp.concatenate([g_rgb, g_s * dist[sl]], axis=-1)  # [sub,4]
 
         dxp_s, dview_s = ff._mlp_backward(xp[sl], vi[sl], w, g4, accumulate,
                                           cdt=cdt, fwd=fwd)
         dxp_parts.append(dxp_s)
         dview_parts.append(dview_s)
-    ddist_ref[:] = jnp.concatenate(ddist_parts, axis=0)
+    # quadrature chain, in-kernel: dist = intv * ||ray||, so
+    # d/dray = (sum_k g_dist[k] * intv[k]) * ray/||ray||, and
+    # sum g_dist*intv = sum(g_dist * dist) / ||ray||
+    g_dist = jnp.concatenate(gdist_parts, axis=0)              # [n,1]
+    g_len = _per_ray_sums(g_dist * dist, R, K) / ray_len       # [R,1]
+    dray_quad = ray * (g_len / ray_len)                        # [R,3]
     dxp = jnp.concatenate(dxp_parts, axis=0)
     dview = jnp.concatenate(dview_parts, axis=0)
 
@@ -513,96 +616,90 @@ def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, d_col_ref,
         - ru * (jnp.sum(dru * ru, axis=1, keepdims=True) * inv)
 
     dcenter_ref[:] = dcenter
-    dray_ref[:] = dray
+    dray_ref[:] = dray + dray_quad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_mlp_pe_rm(center, ray, depth, d_col, dist, interpret,
-                    compute_dtype, masks, weights):
-    """Fused PE + field MLP + alpha compositing.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_mlp_pe_rm(center, ray, depth, interpret, compute_dtype, masks,
+                    weights):
+    """Fused PE + field MLP + alpha compositing, per-RAY outputs.
 
-    center/ray: [R,3]; depth: [R,K] (pts construction, non-diff);
-    d_col/dist: [R*K,1] flattened depth + interval*||ray|| columns (dist IS
-    differentiable — the wrapper autodiffs the ||ray|| chain through the
-    returned ddist). Returns per-point WEIGHTED contributions [R*K,8] =
-    (wgt*rgb, wgt*depth, wgt, 0,0,0); the caller sums per ray over K.
+    center/ray: [R,3]; depth: [R,K] sorted ascending (pts construction +
+    in-kernel quadrature; non-diff — stratified samples are detached).
+    Returns per-ray composited [R,8] = (rgb, depth, opacity, 0,0,0); the
+    ||ray|| quadrature chain is differentiated in-kernel into dray.
     """
-    out, _ = _fused_pe_rm_fwd(center, ray, depth, d_col, dist, interpret,
-                              compute_dtype, masks, weights)
+    out, _ = _fused_pe_rm_fwd(center, ray, depth, interpret, compute_dtype,
+                              masks, weights)
     return out
 
 
-def _pt_spec(width, blk):
-    return pl.BlockSpec((blk, width), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+def _rm_consts(K):
+    return (jnp.asarray(_prefix_mat_lower(K)),
+            jnp.asarray(np.eye(K, dtype=np.float32)))
 
 
-def _fused_pe_rm_fwd(center, ray, depth, d_col, dist, interpret,
-                     compute_dtype, masks, weights):
+def _fused_pe_rm_fwd(center, ray, depth, interpret, compute_dtype, masks,
+                     weights):
     R, K = depth.shape
     assert R % R_BLK == 0, (R, R_BLK)
     grid = (R // R_BLK,)
-    blk = R_BLK * K
     ws3, wc3, wsv, wcv = masks
     w_list = [weights[k] for k in ff._ORDER]
+    L, I = _rm_consts(K)
     out = pl.pallas_call(
         functools.partial(_rm_fwd_pe_kernel,
                           ff.resolve_compute_dtype(compute_dtype)),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
-                  _ray_spec(K, R_BLK), _pt_spec(1, blk), _pt_spec(1, blk),
+                  _ray_spec(K, R_BLK),
                   _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
                   _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
                   ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
-                  ff._full_spec((K, K))] + _w_specs(),
-        out_specs=_pt_spec(8, blk),
-        out_shape=jax.ShapeDtypeStruct((R * K, 8), jnp.float32),
+                  ff._full_spec((K, K)), ff._full_spec((K, K))] + _w_specs(),
+        out_specs=_ray_spec(8, R_BLK),
+        out_shape=jax.ShapeDtypeStruct((R, 8), jnp.float32),
         interpret=interpret,
-    )(center, ray, depth, d_col, dist, jnp.asarray(_MID3D), ws3, wc3,
+    )(center, ray, depth, jnp.asarray(_MID3D), ws3, wc3,
       jnp.asarray(_MIDV), wsv, wcv,
-      jnp.asarray(_F3D), jnp.asarray(_FV),
-      jnp.asarray(_prefix_mat_lower(K)), *w_list)
-    return out, (center, ray, depth, d_col, dist, masks, weights)
+      jnp.asarray(_F3D), jnp.asarray(_FV), L, I, *w_list)
+    return out, (center, ray, depth, masks, weights)
 
 
 def _fused_pe_rm_bwd(interpret, compute_dtype, res, g):
-    center, ray, depth, d_col, dist, masks, weights = res
+    center, ray, depth, masks, weights = res
     R, K = depth.shape
     grid = (R // R_BLK,)
-    blk = R_BLK * K
     ws3, wc3, wsv, wcv = masks
     w_list = [weights[k] for k in ff._ORDER]
+    L, I = _rm_consts(K)
     out_shapes = (
         [jax.ShapeDtypeStruct((R, 3), jnp.float32),
-         jax.ShapeDtypeStruct((R, 3), jnp.float32),
-         jax.ShapeDtypeStruct((R * K, 1), jnp.float32)] +
+         jax.ShapeDtypeStruct((R, 3), jnp.float32)] +
         [jax.ShapeDtypeStruct(ff._WEIGHT_SHAPES.get(k) or ff._BIAS_SHAPES[k],
                               jnp.float32) for k in ff._ORDER])
-    out_specs = ([_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
-                  _pt_spec(1, blk)] + _w_specs())
+    out_specs = ([_ray_spec(3, R_BLK), _ray_spec(3, R_BLK)] + _w_specs())
     outs = pl.pallas_call(
         functools.partial(_rm_bwd_pe_kernel,
                           ff.resolve_compute_dtype(compute_dtype)),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
-                  _ray_spec(K, R_BLK), _pt_spec(1, blk), _pt_spec(1, blk),
+                  _ray_spec(K, R_BLK),
                   _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
                   _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
                   ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
-                  ff._full_spec((K, K)),
-                  _pt_spec(8, blk)] + _w_specs(),
+                  ff._full_spec((K, K)), ff._full_spec((K, K)),
+                  _ray_spec(8, R_BLK)] + _w_specs(),
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(center, ray, depth, d_col, dist, jnp.asarray(_MID3D), ws3, wc3,
+    )(center, ray, depth, jnp.asarray(_MID3D), ws3, wc3,
       jnp.asarray(_MIDV), wsv, wcv,
-      jnp.asarray(_F3D), jnp.asarray(_FV),
-      jnp.asarray(_prefix_mat_lower(K)), g, *w_list)
-    dcenter, dray, ddist = outs[0], outs[1], outs[2]
-    dw = {k: outs[3 + i] for i, k in enumerate(ff._ORDER)}
+      jnp.asarray(_F3D), jnp.asarray(_FV), L, I, g, *w_list)
+    dcenter, dray = outs[0], outs[1]
+    dw = {k: outs[2 + i] for i, k in enumerate(ff._ORDER)}
     zero_masks = tuple(jnp.zeros_like(m) for m in masks)
-    return (dcenter, dray, jnp.zeros_like(depth), jnp.zeros_like(d_col),
-            ddist, zero_masks, dw)
+    return dcenter, dray, jnp.zeros_like(depth), zero_masks, dw
 
 
 fused_mlp_pe_rm.defvjp(_fused_pe_rm_fwd, _fused_pe_rm_bwd)
@@ -615,7 +712,8 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
     """Drop-in for the sample->field->composite core (no fine sampling).
 
     center/ray: [B,R,3]; depth: [B,R,K,1] sorted ascending.
-    Returns (rgb [B,R,3], depth [B,R,1], opacity [B,R,1]).
+    Returns (rgb [B,R,3], depth [B,R,1], opacity [B,R,1]). The only
+    XLA-side tensors are the [n_rays,3]/[n_rays,8] ray-level ones.
     """
     B, R_img, K = depth.shape[0], depth.shape[1], depth.shape[2]
     n_rays = B * R_img
@@ -632,16 +730,8 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
     masks = tuple(jax.lax.stop_gradient(m)
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
-    # quadrature columns (ops/render.py): built HERE so XLA autodiffs the
-    # ||ray|| chain through the kernel's ddist cotangent
-    intv = jnp.concatenate(
-        [d[:, 1:] - d[:, :-1], jnp.full_like(d[:, :1], 1e10)], axis=1)
-    ray_len = jnp.sqrt(jnp.sum(r * r, axis=1, keepdims=True))
-    dist = (intv * ray_len).reshape(-1, 1)
-    d_col = jax.lax.stop_gradient(d.reshape(-1, 1))
-    out_pt = fused_mlp_pe_rm(c, r, d, d_col, dist, interpret, compute_dtype,
-                             masks, ff.pack_weights(params))
-    out = out_pt[:n_rays * K].reshape(n_rays, K, 8).sum(axis=1)
+    out = fused_mlp_pe_rm(c, r, d, interpret, compute_dtype,
+                          masks, ff.pack_weights(params))[:n_rays]
     rgb = out[:, :3].reshape(B, R_img, 3)
     depth_out = out[:, 3:4].reshape(B, R_img, 1)
     opacity = out[:, 4:5].reshape(B, R_img, 1)

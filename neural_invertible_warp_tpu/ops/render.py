@@ -42,6 +42,38 @@ def composite(ray, rgb_samples, density_samples, depth_samples,
     return out_rgb, out_depth, opacity, prob
 
 
+def composite_soa(ray, rgb_channels, density_samples, depth_samples,
+                  setbg_opaque=False, bgcolor=None):
+    """Channel-separated compositing: same math as ``composite``, but the
+    color channels arrive as three [B,R,N] arrays instead of one [B,R,N,3].
+
+    TPU rationale (r3 profile): [B,R,N,3] puts 3 on the 128-lane minor axis,
+    so its physical tiles are padded 3->128 — every elementwise/reduce op in
+    the compositing fwd+bwd then moves ~43x more bytes than the data holds.
+    With N on the lane axis every op here is tile-dense.
+
+    Returns (rgb [B,R,3], depth [B,R,1], opacity [B,R,1], prob [B,R,N] —
+    note prob loses the trailing singleton axis of ``composite``).
+    """
+    ray_length = jnp.linalg.norm(ray, axis=-1, keepdims=True)            # [B,R,1]
+    depth = depth_samples[..., 0]                                        # [B,R,N]
+    intv = depth[..., 1:] - depth[..., :-1]
+    intv = jnp.concatenate([intv, jnp.full_like(intv[..., :1], 1e10)], axis=-1)
+    dist = intv * ray_length                                             # [B,R,N]
+    sigma_delta = density_samples * dist
+    alpha = 1 - jnp.exp(-sigma_delta)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(sigma_delta[..., :1]), sigma_delta[..., :-1]], axis=-1)
+    prob = jnp.exp(-jnp.cumsum(shifted, axis=-1)) * alpha                # [B,R,N]
+    out_rgb = jnp.stack([jnp.sum(ch * prob, axis=-1)
+                         for ch in rgb_channels], axis=-1)               # [B,R,3]
+    out_depth = jnp.sum(depth * prob, axis=-1, keepdims=True)            # [B,R,1]
+    opacity = jnp.sum(prob, axis=-1, keepdims=True)                      # [B,R,1]
+    if setbg_opaque:
+        out_rgb = out_rgb + bgcolor * (1 - opacity)
+    return out_rgb, out_depth, opacity, prob
+
+
 def invdepth_map(depth, opacity, ndc=False, eps=1e-10):
     """Inverse-depth visualization map (reference model/nerf.py:144)."""
     if ndc:

@@ -18,8 +18,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtypes", default="float32,bfloat16")
     ap.add_argument("--r-blks", default="8")
+    ap.add_argument("--mlp-subs", default="256")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--skip-ff", action="store_true")
+    ap.add_argument("--skip-rm", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -86,23 +88,27 @@ def main():
 
     for r_blk in (int(x) for x in args.r_blks.split(",")):
         fp.set_ray_block(r_blk)
-        for cdt in dtypes:
-            p_fwd = scalarize(lambda c, r, d, w: fp.fused_mlp_pe(
-                c, r, d, False, cdt, masks, w))
-            p_vjp = scalarize(lambda c, r, d, w, g: jax.vjp(
-                lambda a, b, dd, ww: fp.fused_mlp_pe(a, b, dd, False, cdt,
-                                                     masks, ww),
-                c, r, d, w)[1](g))
-            try:
-                t1 = timeit(p_fwd, c, r, d, w)
-                t2 = timeit(p_vjp, c, r, d, w, g)
-                print("pe  R_BLK={:2d} {:9s} fwd: {:6.2f} ms   fwd+bwd: "
-                      "{:6.2f} ms".format(r_blk, cdt, t1, t2), flush=True)
-            except Exception as e:
-                print("pe  R_BLK={:2d} {} FAILED: {}".format(
-                    r_blk, cdt, str(e)[:200]), flush=True)
+        for mlp_sub in (int(x) for x in args.mlp_subs.split(",")):
+            fp.set_mlp_sub(mlp_sub)
+            for cdt in dtypes:
+                p_fwd = scalarize(lambda c, r, d, w: fp.fused_mlp_pe(
+                    c, r, d, False, cdt, masks, w))
+                p_vjp = scalarize(lambda c, r, d, w, g: jax.vjp(
+                    lambda a, b, dd, ww: fp.fused_mlp_pe(a, b, dd, False, cdt,
+                                                         masks, ww),
+                    c, r, d, w)[1](g))
+                try:
+                    t1 = timeit(p_fwd, c, r, d, w)
+                    t2 = timeit(p_vjp, c, r, d, w, g)
+                    print("pe  R_BLK={:2d} SUB={:4d} {:9s} fwd: {:6.2f} ms   "
+                          "fwd+bwd: {:6.2f} ms".format(
+                              r_blk, mlp_sub, cdt, t1, t2), flush=True)
+                except Exception as e:
+                    print("pe  R_BLK={:2d} SUB={:4d} {} FAILED: {}".format(
+                        r_blk, mlp_sub, cdt, str(e)[:200]), flush=True)
+        fp.set_mlp_sub(256)
 
-        for cdt in dtypes:
+        for cdt in (() if args.skip_rm else dtypes):
             m_fwd = scalarize(lambda c, r, d, dc, di, w: fp.fused_mlp_pe_rm(
                 c, r, d, dc, di, False, cdt, masks, w))
             m_vjp = scalarize(lambda c, r, d, dc, di, w, g: jax.vjp(

@@ -36,7 +36,7 @@ def main():
         state = system.init_state(jax.random.PRNGKey(0))
         return system, state
 
-    def time_step(system, state, reps=100, spc=50):
+    def time_step(system, state, reps=200, spc=50):
         base = jax.random.PRNGKey(0)
         keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(np.arange(spc))
         state, m = system.train_multi_step(state, keys)
@@ -44,7 +44,9 @@ def main():
         t0 = time.time()
         for c in range(reps // spc):
             state, m = system.train_multi_step(state, keys)
-            float(m["loss_all"])
+        # async dispatches, ONE sync: the per-chunk float() paid a ~130 ms
+        # axon-tunnel round trip per 50 steps (+2.7 ms/step, r3 profile)
+        float(m["loss_all"])
         return (time.time() - t0) / reps * 1000
 
     variants = [
