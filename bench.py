@@ -105,7 +105,8 @@ N_IMAGES = 18
 H, W = 480, 640
 RAND_RAYS = 2048
 WARMUP_STEPS = 3
-BENCH_STEPS = 300
+BENCH_STEPS = 900   # ~9 s measured: the ONE axon-tunnel round trip paid by
+                    # the final sync (~130 ms) must amortize below the noise
 STEPS_PER_CALL = 50
 
 QUICK = "--quick" in sys.argv

@@ -54,7 +54,7 @@ def main():
                             jnp.full_like(d[:, :1], 1e10)], axis=1)
     ray_len = jnp.sqrt(jnp.sum(r * r, axis=1, keepdims=True))
     dist = (intv * ray_len).reshape(-1, 1)
-    g8 = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    g_ray = jnp.asarray(rng.randn(n_rays, 8).astype(np.float32))
 
     def scalarize(fn):
         """Reduce all outputs to ONE scalar inside the jit: a single value
@@ -106,24 +106,29 @@ def main():
                 except Exception as e:
                     print("pe  R_BLK={:2d} SUB={:4d} {} FAILED: {}".format(
                         r_blk, mlp_sub, cdt, str(e)[:200]), flush=True)
-        fp.set_mlp_sub(256)
+        fp.set_mlp_sub(512)
 
-        for cdt in (() if args.skip_rm else dtypes):
-            m_fwd = scalarize(lambda c, r, d, dc, di, w: fp.fused_mlp_pe_rm(
-                c, r, d, dc, di, False, cdt, masks, w))
-            m_vjp = scalarize(lambda c, r, d, dc, di, w, g: jax.vjp(
-                lambda a, b, dd, dcc, dii, ww: fp.fused_mlp_pe_rm(
-                    a, b, dd, dcc, dii, False, cdt, masks, ww),
-                c, r, d, dc, di, w)[1](g))
-            try:
-                t1 = timeit(m_fwd, c, r, d, d_col, dist, w)
-                t2 = timeit(m_vjp, c, r, d, d_col, dist, w, g8)
-                print("rm  R_BLK={:2d} {:9s} fwd: {:6.2f} ms   fwd+bwd: "
-                      "{:6.2f} ms".format(r_blk, cdt, t1, t2), flush=True)
-            except Exception as e:
-                print("rm  R_BLK={:2d} {} FAILED: {}".format(
-                    r_blk, cdt, str(e)[:200]), flush=True)
+        for mlp_sub in (() if args.skip_rm else
+                        tuple(int(x) for x in args.mlp_subs.split(","))):
+            fp.set_mlp_sub(mlp_sub)
+            for cdt in dtypes:
+                m_fwd = scalarize(lambda c, r, d, w: fp.fused_mlp_pe_rm(
+                    c, r, d, False, cdt, masks, w))
+                m_vjp = scalarize(lambda c, r, d, w, g: jax.vjp(
+                    lambda a, b, dd, ww: fp.fused_mlp_pe_rm(
+                        a, b, dd, False, cdt, masks, ww),
+                    c, r, d, w)[1](g))
+                try:
+                    t1 = timeit(m_fwd, c, r, d, w)
+                    t2 = timeit(m_vjp, c, r, d, w, g_ray)
+                    print("rm  R_BLK={:2d} SUB={:4d} {:9s} fwd: {:6.2f} ms   "
+                          "fwd+bwd: {:6.2f} ms".format(
+                              r_blk, mlp_sub, cdt, t1, t2), flush=True)
+                except Exception as e:
+                    print("rm  R_BLK={:2d} SUB={:4d} {} FAILED: {}".format(
+                        r_blk, mlp_sub, cdt, str(e)[:200]), flush=True)
     fp.set_ray_block(8)
+    fp.set_mlp_sub(512)
 
 
 if __name__ == "__main__":
