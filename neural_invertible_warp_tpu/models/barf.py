@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops import align, lie, rays
+from ..ops import align, lie, rays, sampling
 from ..ops import pose as pose_ops
 from .system import NerfSystem, exp_decay_gamma
 

@@ -173,8 +173,20 @@ class InnWarpSystem(BarfSystem):
     def warp_points(self, params, pts, step):
         """Warp [B,N,3] camera-frame points into world space."""
         feat = self._warp_feat(params)
-        return inn.deform_forward(params["warp_mlp"], feat, pts,
-                                  self.alpha_ratio(step),
+        alpha = self.alpha_ratio(step)
+        from ..ops.pallas import fused_inn
+        tpu_cfg = self.opt.get("tpu") or {}
+        if (tpu_cfg.get("fused_inn", True)
+                and jax.devices()[0].platform not in ("cpu",)
+                and fused_inn.supports(params["warp_mlp"], self.multires,
+                                       self.actfn, self.anneal_mode)):
+            # whole 3-block coupling chain in one Pallas call per direction
+            # (the XLA path is ~50 small ops of fixed overhead, r3 profile)
+            return fused_inn.fused_deform_forward(
+                params["warp_mlp"], feat, pts, alpha,
+                multires=self.multires, actfn=self.actfn,
+                anneal=self.anneal_mode)
+        return inn.deform_forward(params["warp_mlp"], feat, pts, alpha,
                                   multires=self.multires, actfn=self.actfn,
                                   anneal=self.anneal_mode)
 

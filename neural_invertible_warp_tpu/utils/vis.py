@@ -123,6 +123,8 @@ def generate_videos_pose(opt, trainer):
     cam_path = os.path.join(opt.output_path, "poses")
     os.makedirs(cam_path, exist_ok=True)
     ep_list = []
+    pose_frames = []
+    last_ref = None
     cam_depth = (opt.get("visdom") or {}).get("cam_depth", 0.2)
     for ep in range(0, opt.max_iter + 1, opt.freq.ckpt):
         if ep > 0:
@@ -143,6 +145,14 @@ def generate_videos_pose(opt, trainer):
                     jnp.asarray(pose), sim3, "pred_to_GT"))
         plot_save_poses(cam_path, pose, pose_ref, ep=ep, cam_depth=cam_depth)
         ep_list.append(ep)
+        pose_frames.append((ep, np.asarray(pose)))
+        last_ref = np.asarray(pose_ref) if pose_ref is not None else None
     out = os.path.join(opt.output_path, "poses.mp4")
     write_video(cam_path, "%d.png", out)
+    if pose_frames:
+        # interactive 3D viewer (visdom-wireframe equivalent, offline HTML)
+        from .pose_viewer import export_interactive_poses
+        export_interactive_poses(
+            os.path.join(opt.output_path, "poses.html"), pose_frames,
+            pose_ref=last_ref, cam_depth=cam_depth)
     return ep_list

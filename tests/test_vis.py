@@ -51,3 +51,31 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                   np.arange(6.0).reshape(2, 3))
     assert int(restored["step"]) == 7
+
+
+def test_export_interactive_poses(tmp_path):
+    """poses.html: self-contained viewer with embedded frusta JSON
+    (visdom-wireframe equivalent, utils/pose_viewer.py)."""
+    import json
+    import re
+    from neural_invertible_warp_tpu.utils.pose_viewer import (
+        export_interactive_poses)
+    rng = np.random.RandomState(0)
+    def rand_poses(n):
+        out = np.tile(np.eye(3, 4, dtype=np.float32), (n, 1, 1))
+        out[:, :, 3] = rng.randn(n, 3) * 0.1
+        return out
+    frames = [(0, rand_poses(4)), (500, rand_poses(4))]
+    ref = rand_poses(4)
+    path = export_interactive_poses(str(tmp_path / "poses.html"), frames,
+                                    pose_ref=ref, cam_depth=0.3)
+    html = open(path).read()
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    assert m, "embedded data blob missing"
+    data = json.loads(m.group(1))
+    assert data["iters"] == [0, 500]
+    assert len(data["frames"]) == 2
+    assert len(data["frames"][0]) == 4          # 4 cameras
+    assert len(data["frames"][0][0]) == 5       # 5 frustum vertices
+    assert len(data["ref"]) == 4
+    assert "<canvas" in html and "orbit" in html
