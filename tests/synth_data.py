@@ -254,11 +254,17 @@ def backdrop_params(point, normal, seed=0):
 
 
 def analytic_blob_render(pose_w2c, intr, H, W, blob, n_samples=192,
-                         depth_range=(2.0, 6.0), bgcolor=1.0, backdrop=None):
+                         depth_range=(2.0, 6.0), bgcolor=1.0, backdrop=None,
+                         return_depth=False):
     """Render the blob field from w2c poses. Returns [B,H,W,3] numpy.
 
     With ``backdrop`` (backdrop_params dict), rays that miss the blobs hit a
-    textured wall instead of the flat background color."""
+    textured wall instead of the flat background color.
+
+    With ``return_depth``, returns (rgb, depth, opacity) where depth is the
+    expected ray parameter (= camera z-depth, since the pixel grid lives on
+    the z=1 plane) including the backdrop hit, and opacity is the blob-field
+    alpha (the foreground mask signal for DTU-style scenes)."""
     import jax
     import jax.numpy as jnp
     from neural_invertible_warp_tpu.ops import rays, render, sampling
@@ -294,9 +300,13 @@ def analytic_blob_render(pose_w2c, intr, H, W, blob, n_samples=192,
                 * jnp.sin(fy * pts[..., 1] + 1.3) \
                 * jnp.sin(fz * pts[..., 2] + 2.1)
             rgb = rgb * mod[..., None]
-        out_rgb, _, opac, _ = render.composite(ray, rgb, sigma, depth)
+        out_rgb, out_d, opac, _ = render.composite(ray, rgb, sigma, depth)
         if backdrop is None:
-            return out_rgb + bgcolor * (1 - opac)
+            rgb_final = out_rgb + bgcolor * (1 - opac)
+            if return_depth:
+                d = out_d + depth_range[1] * (1 - opac)
+                return rgb_final, d, opac
+            return rgb_final
         # ray-plane intersection: x = center + t*ray with (x-p).n = 0
         p = jnp.asarray(backdrop["point"])
         nrm = jnp.asarray(backdrop["normal"])
@@ -327,10 +337,22 @@ def analytic_blob_render(pose_w2c, intr, H, W, blob, n_samples=192,
             wspot = jnp.exp(-0.5 * d2s / ss ** 2)
             col = col + jnp.sum(wspot[..., None] * sc, axis=-2)
         col = jnp.clip(col, 0.02, 0.98)
-        return out_rgb + col * (1 - opac)
+        rgb_final = out_rgb + col * (1 - opac)
+        if return_depth:
+            d = out_d + t[..., None] * (1 - opac)
+            return rgb_final, d, opac
+        return rgb_final
 
     pose_w2c = np.asarray(pose_w2c, np.float32)
     intr = np.asarray(intr, np.float32)
+    if return_depth:
+        rgbs, depths, opacs = [], [], []
+        for i in range(pose_w2c.shape[0]):
+            r, d, o = render_one(jnp.asarray(pose_w2c[i]), jnp.asarray(intr[i]))
+            rgbs.append(np.asarray(r).reshape(H, W, 3))
+            depths.append(np.asarray(d).reshape(H, W))
+            opacs.append(np.asarray(o).reshape(H, W))
+        return np.stack(rgbs), np.stack(depths), np.stack(opacs)
     out = [np.asarray(render_one(jnp.asarray(pose_w2c[i]),
                                  jnp.asarray(intr[i]))).reshape(H, W, 3)
            for i in range(pose_w2c.shape[0])]
@@ -539,6 +561,110 @@ def make_dtu_scene(root, scene="scan1", n_images=12, H=30, W=40, seed=0):
                         np.full((H, W, 3), 255, np.uint8))
         # reference PFM depths are in the raw world scale; the loader divides
         # by 300 (data/dtu.py:285-290)
+        _write_pfm(os.path.join(depth_dir, "depth_map_{:04d}.pfm".format(i)),
+                   depths[i] * 300.0)
+    return poses, intr
+
+
+def dtu_ring_poses(n_views=49, seed=0, radius=3.2, theta_span=80.0):
+    """DTU-like inward-facing camera arc (OpenCV convention, c2w z toward
+    the scene) — the geometry of a real DTU robot-arm scan: cameras on a
+    wobbly arc at ~constant distance, all looking at the table center."""
+    rng = np.random.RandomState(seed)
+    c2ws = []
+    for i in range(n_views):
+        theta = np.deg2rad(theta_span * (i / (n_views - 1) - 0.5))
+        phi = np.deg2rad(20 + 12 * np.sin(3.0 * theta) + 2 * rng.randn())
+        r = radius + 0.12 * rng.randn()
+        eye = np.array([r * np.sin(theta) * np.cos(phi),
+                        r * np.sin(phi),
+                        -r * np.cos(theta) * np.cos(phi)])
+        target = np.array([0.05 * rng.randn(), 0.05 * rng.randn(), 0.0])
+        z = target - eye
+        z = z / np.linalg.norm(z)
+        up = np.array([0.0, 1.0, 0.0])
+        x_ax = np.cross(up, z); x_ax /= np.linalg.norm(x_ax)
+        y_ax = np.cross(z, x_ax)
+        R_c2w = np.stack([x_ax, y_ax, z], axis=1)
+        c2ws.append(np.concatenate([R_c2w, eye[:, None]], axis=1))
+    return np.stack(c2ws)
+
+
+def make_blob_dtu_scene(root, scene="scan1", n_images=49, H=150, W=200,
+                        seed=0):
+    """Evidence-scale DTU-format scene: a 49-view inward camera arc over an
+    opaque textured blob cluster with a corner-rich backdrop wall, written
+    in the pixelNeRF DVR layout the loader expects (cameras.npz with raw
+    300x-scaled projection matrices, images, IDR fg masks derived from the
+    blob-field opacity, PFM GT depth in the raw world scale).
+
+    Scene content sits inside the loader's fixed [1.2, 5.2] depth range
+    (cameras at r~3.2, object radius ~1.4, wall at z=+1.6); oblique wall
+    hits can slightly exceed 5.2, so runs should widen the range
+    (data.dtu.increase_depth_range_by_x_percent~0.15).
+    """
+    scene_dir = os.path.join(root, "rs_dtu_4", "DTU", scene)
+    img_dir = os.path.join(scene_dir, "image")
+    mask_dir = os.path.join(root, "submission_data", "idrmasks", scene)
+    depth_dir = os.path.join(root, "Depths", scene)
+    for d in (img_dir, mask_dir, depth_dir):
+        os.makedirs(d, exist_ok=True)
+
+    f = 1.1 * W
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float64)
+    c2ws = dtu_ring_poses(n_views=n_images, seed=seed)
+
+    trans_offset = np.array([3.0, -2.0, 5.0])
+    cam_npz = {}
+    poses_w2c_final = []
+    for i in range(n_images):
+        c2w_final = c2ws[i]
+        # invert the loader's normalization: t_raw = 300*t_final + offset
+        c2w_raw = c2w_final.copy()
+        c2w_raw[:, 3] = 300.0 * c2w_final[:, 3] + trans_offset
+        w2c_raw = np.linalg.inv(np.concatenate([c2w_raw, [[0, 0, 0, 1]]], 0))
+        P = K @ w2c_raw[:3]
+        cam_npz["world_mat_{}".format(i)] = np.concatenate(
+            [P, [[0, 0, 0, 1]]], 0)
+        scale_mat = np.diag([300.0, 300.0, 300.0, 1.0])
+        scale_mat[:3, 3] = trans_offset
+        cam_npz["scale_mat_{}".format(i)] = scale_mat
+        w2c_final = np.linalg.inv(
+            np.concatenate([c2w_final, [[0, 0, 0, 1]]], 0))
+        poses_w2c_final.append(w2c_final[:3].astype(np.float32))
+    np.savez(os.path.join(scene_dir, "cameras.npz"), **cam_npz)
+
+    # content: medium textured blobs (multi-depth occluded structure) +
+    # small opaque dots (view-stable corner anchors for SfM) + dotted wall
+    body = blob_params(seed=seed + 7, n_blobs=50, radius=1.2,
+                       axis_scale=(1.2, 1.0, 1.3), s_range=(0.09, 0.22))
+    body["a"] = body["a"] * 4.0
+    dots = blob_params(seed=seed + 19, n_blobs=40, radius=1.45,
+                       axis_scale=(1.2, 1.0, 1.3), s_range=(0.03, 0.06))
+    dots["a"] = dots["a"] * 40.0
+    blob = {k: np.concatenate([body[k], dots[k]]) for k in
+            ("mu", "s", "a", "c")}
+    blob["tex"] = dict(freq=(9.0, 8.0, 10.0), amp=0.35)
+    bd = backdrop_params(point=(0, 0, 1.6), normal=(0, 0, -1.0),
+                         seed=seed + 23)
+    trng = np.random.RandomState(seed + 13)
+    n_spots = 800
+    bd["spot_uv"] = (trng.rand(n_spots, 2).astype(np.float32) - 0.5) * 10.0
+    bd["spot_s"] = (0.015 + 0.03 * trng.rand(n_spots)).astype(np.float32)
+    bd["spot_c"] = ((trng.rand(n_spots, 3) - 0.5) * 1.6).astype(np.float32)
+
+    poses = np.stack(poses_w2c_final)
+    intr = np.tile(K.astype(np.float32), (n_images, 1, 1))
+    imgs, depths, opacs = analytic_blob_render(
+        poses, intr, H, W, blob, n_samples=256, depth_range=(1.2, 6.2),
+        backdrop=bd, return_depth=True)
+    for i in range(n_images):
+        imageio.imwrite(os.path.join(img_dir, "{:06d}.png".format(i)),
+                        (np.clip(imgs[i], 0, 1) * 255).astype(np.uint8))
+        mask = (opacs[i] > 0.5).astype(np.uint8) * 255
+        imageio.imwrite(os.path.join(mask_dir, "{:03d}.png".format(i)),
+                        np.repeat(mask[..., None], 3, axis=-1))
+        # PFM depths live in the raw world scale; the loader divides by 300
         _write_pfm(os.path.join(depth_dir, "depth_map_{:04d}.pfm".format(i)),
                    depths[i] * 300.0)
     return poses, intr
