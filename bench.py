@@ -56,7 +56,9 @@ def fused_kernel_flops_per_step(system):
     """Analytic FLOPs of the fused Pallas field kernel per train step —
     XLA's cost analysis cannot see inside pallas_call, so the kernel's
     matmul work (the vast majority of the step's FLOPs) must be counted
-    here: fwd once + bwd (recompute + 2 matmuls/layer) ~ 4x fwd."""
+    here. Two-kernel path: fwd once + bwd (recompute + 2 matmuls/layer)
+    ~ 4x fwd. Fused-train path (tpu.fused_train, r3): the separate fwd
+    kernel is gone — one kernel does recompute + backward ~ 3x fwd."""
     if system._use_fused_field() == "off":
         return 0.0
     opt = system.opt
@@ -66,7 +68,10 @@ def fused_kernel_flops_per_step(system):
     # 320-wide skip, 384-wide density layer, 288->128->128 rgb head
     per_point = 2 * (64 * 256 + 3 * 256 * 256 + 320 * 256 + 2 * 256 * 256
                      + 256 * 384 + 288 * 128 + 128 * 128)
-    return 4.0 * n_pts * per_point
+    tpu_cfg = opt.get("tpu") or {}
+    fused_train = (tpu_cfg.get("fused_train", True)
+                   and tpu_cfg.get("fused_raymarch", False))
+    return (3.0 if fused_train else 4.0) * n_pts * per_point
 
 
 def compiled_flops_per_step(system, state, keys):

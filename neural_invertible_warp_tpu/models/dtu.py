@@ -284,9 +284,10 @@ class InnDTUSystem(DTUMixin, PoseInitMixin, DTUAlignmentMixin, InnWarpSystem):
         grid_w, center_w = warped[:, :N], warped[:, N:]
         ray = grid_w - center_w
         progress = step.astype(jnp.float32) / opt.max_iter
+        target = mesh_lib.shard_batch_rays(data["pixels"][:, ray_idx])
         out = self.render_rays(params, center_w, ray, key, mode="train",
-                               progress=progress, intr=data["intr"])
-        target = data["pixels"][:, ray_idx]
+                               progress=progress, intr=data["intr"],
+                               target=target)
         extras = dict(grid_cam=grid_init, center_cam=center_init,
                       grid_w=grid_w, center_w=center_w, ray_idx=ray_idx)
         return out, target, extras

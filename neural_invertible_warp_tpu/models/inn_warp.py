@@ -237,16 +237,19 @@ class InnWarpSystem(BarfSystem):
         grid_w, center_w = warped[:, :N], warped[:, N:]
         ray = grid_w - center_w
         progress = step.astype(jnp.float32) / opt.max_iter
+        target = mesh_lib.shard_batch_rays(data["pixels"][:, ray_idx])
         out = self.render_rays(params, center_w, ray, key, mode="train",
                                progress=progress, intr=data["intr"],
-                               depth_range=depth_range)
-        target = data["pixels"][:, ray_idx]
+                               depth_range=depth_range, target=target)
         extras = dict(grid_cam=grid_cam, center_cam=center_cam,
                       grid_w=grid_w, center_w=center_w)
         return out, target, extras
 
     def compute_loss(self, params, aux, data, out, target, step, extras):
-        losses = {"render": jnp.mean((out["rgb"] - target) ** 2)}
+        if "render_sq_sum" in out:
+            losses = {"render": out["render_sq_sum"] / out["render_n"]}
+        else:
+            losses = {"render": jnp.mean((out["rgb"] - target) ** 2)}
         if self.opt.loss_weight.get("render_fine") is not None:
             losses["render_fine"] = jnp.mean((out["rgb_fine"] - target) ** 2)
         if self.opt.loss_weight.get("global_alignment") is not None:

@@ -163,7 +163,7 @@ class NerfSystem:
     # ---------------------------------------------------------------- render
 
     def render_rays(self, params, center, ray, key, mode="train", progress=1.0,
-                    depth_range=None, intr=None):
+                    depth_range=None, intr=None, target=None):
         """Shared render core: stratified sampling -> field -> compositing.
 
         center/ray: [B,R,3]. Returns dict(rgb, depth, opacity[, *_fine]).
@@ -192,6 +192,24 @@ class NerfSystem:
             from ..ops.pallas import fused_pe
             if fused_pe.supports(self.arch, opt.nerf,
                                  sample_intvs=depth.shape[2]):
+                if (mode == "train" and target is not None
+                        and (opt.get("tpu") or {}).get("fused_train", True)):
+                    # one-call fused render+MSE: the forward kernel is
+                    # redundant in training (the backward recomputes it),
+                    # so fwd + in-kernel photometric cotangent + bwd run as
+                    # a single pallas call; compute_loss picks up the
+                    # differentiable sq_sum (fused_pe.py, r3)
+                    out, sq, n_terms = fused_pe.fused_render_rays_pe_train(
+                        params["nerf"], self.arch, center, ray, depth,
+                        target, progress=progress,
+                        barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f")
+                        else None,
+                        setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
+                        bgcolor=opt.data.get("bgcolor"),
+                        compute_dtype=self._kernel_compute_dtype())
+                    out["render_sq_sum"] = sq
+                    out["render_n"] = n_terms
+                    return out
                 rgb, d, opac = fused_pe.fused_render_rays_pe(
                     params["nerf"], self.arch, center, ray, depth,
                     progress=progress,
@@ -255,7 +273,12 @@ class NerfSystem:
     def compute_loss(self, params, aux, data, out, target, step, extras):
         """Loss dict; models may also record per-step readouts into ``extras``
         (picked up by ``update_aux``)."""
-        losses = {"render": jnp.mean((out["rgb"] - target) ** 2)}
+        if "render_sq_sum" in out:
+            # fused train kernel already computed the squared error with the
+            # exact same compositing math; mean = sq_sum / (B*R*3)
+            losses = {"render": out["render_sq_sum"] / out["render_n"]}
+        else:
+            losses = {"render": jnp.mean((out["rgb"] - target) ** 2)}
         if self.opt.loss_weight.get("render_fine") is not None:
             losses["render_fine"] = jnp.mean((out["rgb_fine"] - target) ** 2)
         return losses
@@ -280,9 +303,10 @@ class NerfSystem:
         center = mesh_lib.shard_batch_rays(center)
         ray = mesh_lib.shard_batch_rays(ray)
         progress = step.astype(jnp.float32) / opt.max_iter
+        target = mesh_lib.shard_batch_rays(data["pixels"][:, ray_idx])
         out = self.render_rays(params, center, ray, key, mode="train",
-                               progress=progress, intr=data["intr"])
-        target = data["pixels"][:, ray_idx]
+                               progress=progress, intr=data["intr"],
+                               target=target)
         return out, target, {}
 
     def update_aux(self, aux, extras, step):

@@ -738,3 +738,262 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
     if setbg_opaque:
         rgb = rgb + bgcolor * (1 - opacity)
     return rgb, depth_out, opacity
+
+
+# ---------------------------------------------------------------------------
+# fused TRAIN kernel: forward + in-kernel MSE cotangent + backward in ONE
+# pallas call (r3). In training, fused_mlp_pe_rm dispatches a forward kernel
+# AND a backward kernel that recomputes the whole forward anyway — but the
+# photometric-MSE cotangent is analytic given the target pixels, and the
+# backward's recompute chunks hold whole rays, so the cotangent can be formed
+# chunk-locally in-kernel. That makes the separate forward kernel redundant
+# (~2.75 ms/step of the 10.3 ms step at the bench shape). The op returns the
+# raw squared-error sum as the ONLY differentiable output; rgb/depth/opacity
+# come out for metrics and must be treated as constants (the wrapper
+# stop-gradients them). The VJP is exact: the kernel's gradients are
+# d(sq_sum)/d(inputs), and the incoming scalar cotangent (loss weight /
+# normalizer) just scales them.
+# ---------------------------------------------------------------------------
+
+
+def _rm_train_pe_kernel(cdt, bg, center_ref, ray_ref, depth_ref, mid3_ref,
+                        ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
+                        F3_ref, Fv_ref, L_ref, I_ref, tgt_ref, *refs):
+    w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
+    n_w = len(ff._ORDER)
+    out_ref = refs[n_w]
+    dcenter_ref, dray_ref = refs[n_w + 1], refs[n_w + 2]
+    dw_refs = {name: refs[n_w + 3 + i] for i, name in enumerate(ff._ORDER)}
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for name in ff._ORDER:
+            dw_refs[name][:] = jnp.zeros_like(dw_refs[name])
+
+    def accumulate(name, value):
+        dw_refs[name][:] += value
+
+    center, ray, depth = center_ref[:], ray_ref[:], depth_ref[:]
+    mid3, ws3, wc3 = mid3_ref[:], ws3_ref[:], wc3_ref[:]
+    midv, wsv, wcv = midv_ref[:], wsv_ref[:], wcv_ref[:]
+    F3, Fv = F3_ref[:], Fv_ref[:]
+    xp, vi, res = _encode_block(center, ray, depth, mid3, ws3, wc3,
+                                midv, wsv, wcv, F3, Fv)
+    xp_pre, d3, vF, ru, inv = res
+    R, K = depth.shape
+    n = R * K
+
+    I = I_ref[:]
+    dist_rk, ray_len = _quadrature(ray, depth)
+    dist = _rows_to_cols(I, dist_rk, R)                        # [n,1]
+    d_col = _rows_to_cols(I, depth, R)                         # [n,1]
+    L = L_ref[:]
+    tgt_all = tgt_ref[:]                                       # [R,8]
+
+    m = max(1, min(MLP_SUB, n) // K)
+    while R % m:     # chunks must tile the block exactly (static shapes)
+        m -= 1
+    sub = m * K
+    out_parts, dxp_parts, dview_parts, gdist_parts = [], [], [], []
+    for s0 in range(0, n, sub):
+        sl = slice(s0, s0 + sub)
+        rs = s0 // K
+        fwd = ff._forward_block(xp[sl], vi[sl], w, keep=True, cdt=cdt)
+        out4 = fwd[0]
+        rgb = out4[:, :3]
+        sigma = out4[:, 3:4]
+        s = sigma * dist[sl]
+        alpha = 1.0 - jnp.exp(-s)
+        r_sub = sub // K
+        prefix = _prefix_blockdiag(L, s, r_sub, K)
+        T = jnp.exp(-prefix)
+        wgt = T * alpha
+
+        # composite FORWARD for this chunk's (whole) rays. The concat runs
+        # at [sub,*] granularity into the full 8-wide tile (the narrow
+        # [r_sub,3]+[r_sub,1] lane-concat fails to lower in Mosaic —
+        # vpad offset mismatch — so no per-ray-row concats anywhere here)
+        contrib = jnp.concatenate(
+            [wgt * rgb, wgt * d_col[sl], wgt,
+             jnp.zeros((sub, 3), jnp.float32)], axis=-1)       # [sub,8]
+        sums = _per_ray_sums(contrib, r_sub, K)                # [r_sub,8]
+        rgb_ray = sums[:, :3]
+        out_parts.append(sums)
+
+        # in-kernel MSE cotangent: g = 2*valid*(rgb_final - target); the
+        # valid flag (target col 3) zeroes padded rays so their work never
+        # reaches the weight-gradient accumulators
+        op_ray = sums[:, 4:5]
+        tgt = tgt_all[rs:rs + r_sub]
+        rgb_fin = rgb_ray if bg is None else rgb_ray + bg * (1.0 - op_ray)
+        valid = tgt[:, 3:4]
+        g_rgb_ray = 2.0 * valid * (rgb_fin - tgt[:, :3])       # [r_sub,3]
+        if bg is None:
+            g_op_ray = jnp.zeros_like(op_ray)
+        else:
+            g_op_ray = -jnp.sum(g_rgb_ray * bg, axis=1, keepdims=True)
+
+        # composite backward (identical to _rm_bwd_pe_kernel; the depth
+        # output has no training cotangent — depth metrics are
+        # stop-gradient — so the gd term drops)
+        gr = _broadcast_rows(g_rgb_ray, r_sub, K)              # [sub,3]
+        go = _broadcast_rows(g_op_ray, r_sub, K)               # [sub,1]
+        g_wgt = jnp.sum(gr * rgb, axis=-1, keepdims=True) + go
+        g_rgb = wgt * gr
+        g_alpha = g_wgt * T
+        g_prefix = -(g_wgt * alpha) * T
+        g_s = g_alpha * jnp.exp(-s) + _prefix_blockdiag_t(L, g_prefix,
+                                                          r_sub, K)
+        gdist_parts.append(g_s * sigma)
+        g4 = jnp.concatenate([g_rgb, g_s * dist[sl]], axis=-1)  # [sub,4]
+
+        dxp_s, dview_s = ff._mlp_backward(xp[sl], vi[sl], w, g4, accumulate,
+                                          cdt=cdt, fwd=fwd)
+        dxp_parts.append(dxp_s)
+        dview_parts.append(dview_s)
+
+    out_ref[:] = jnp.concatenate(out_parts, axis=0)            # [R,8]
+
+    # quadrature chain (see _rm_bwd_pe_kernel)
+    g_dist = jnp.concatenate(gdist_parts, axis=0)              # [n,1]
+    g_len = _per_ray_sums(g_dist * dist, R, K) / ray_len       # [R,1]
+    dray_quad = ray * (g_len / ray_len)                        # [R,3]
+    dxp = jnp.concatenate(dxp_parts, axis=0)
+    dview = jnp.concatenate(dview_parts, axis=0)
+
+    dxp_pre = (mid3 + ws3 * jnp.cos(xp_pre) - wc3 * jnp.sin(xp_pre)) * dxp
+    dpts = ff._dot_nt(dxp_pre, F3)
+    dcenter = jnp.sum(dpts.reshape(R, K, 3), axis=1)
+    dray = jnp.sum((dpts * d3).reshape(R, K, 3), axis=1)
+
+    dvi_r = jnp.sum(dview.reshape(R, K, D_VIEW), axis=1)
+    dvF = (midv + wsv * jnp.cos(vF) - wcv * jnp.sin(vF)) * dvi_r
+    dru = ff._dot_nt(dvF, Fv)
+    dray = dray + dru * inv \
+        - ru * (jnp.sum(dru * ru, axis=1, keepdims=True) * inv)
+
+    dcenter_ref[:] = dcenter
+    dray_ref[:] = dray + dray_quad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_mlp_pe_rm_train(center, ray, depth, target8, interpret,
+                          compute_dtype, bg, masks, weights):
+    """One-call training render: returns (sq_sum, out [R,8]).
+
+    sq_sum = sum over valid rays of |rgb_final - target|^2 (unnormalized) —
+    the ONLY differentiable output. out carries (rgb, depth, opacity, 0,0,0)
+    per ray for metrics and MUST be stop-gradiented by the caller (its
+    cotangent is ignored by the VJP). target8: [R,8] with target rgb in
+    cols 0:3 and the valid flag in col 3. bg: static float background color
+    (setbg_opaque compositing happens inside the loss) or None.
+    """
+    (sq, out), _ = _fused_pe_rm_train_fwd(center, ray, depth, target8,
+                                          interpret, compute_dtype, bg,
+                                          masks, weights)
+    return sq, out
+
+
+def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
+                           compute_dtype, bg, masks, weights):
+    R, K = depth.shape
+    assert R % R_BLK == 0, (R, R_BLK)
+    grid = (R // R_BLK,)
+    ws3, wc3, wsv, wcv = masks
+    w_list = [weights[k] for k in ff._ORDER]
+    L, I = _rm_consts(K)
+    out_shapes = (
+        [jax.ShapeDtypeStruct((R, 8), jnp.float32),
+         jax.ShapeDtypeStruct((R, 3), jnp.float32),
+         jax.ShapeDtypeStruct((R, 3), jnp.float32)] +
+        [jax.ShapeDtypeStruct(ff._WEIGHT_SHAPES.get(k) or ff._BIAS_SHAPES[k],
+                              jnp.float32) for k in ff._ORDER])
+    out_specs = ([_ray_spec(8, R_BLK), _ray_spec(3, R_BLK),
+                  _ray_spec(3, R_BLK)] + _w_specs())
+    outs = pl.pallas_call(
+        functools.partial(_rm_train_pe_kernel,
+                          ff.resolve_compute_dtype(compute_dtype), bg),
+        grid=grid,
+        in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
+                  _ray_spec(K, R_BLK),
+                  _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
+                  _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
+                  ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
+                  ff._full_spec((K, K)), ff._full_spec((K, K)),
+                  _ray_spec(8, R_BLK)] + _w_specs(),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(center, ray, depth, jnp.asarray(_MID3D), ws3, wc3,
+      jnp.asarray(_MIDV), wsv, wcv,
+      jnp.asarray(_F3D), jnp.asarray(_FV), L, I, target8, *w_list)
+    out = outs[0]
+    dcenter, dray = outs[1], outs[2]
+    dw = {k: outs[3 + i] for i, k in enumerate(ff._ORDER)}
+    # loss value in XLA from the per-ray outputs (cheap [R,*] ops); uses the
+    # same fp32 quantities the kernel's cotangent used
+    rgb = out[:, :3]
+    rgb_fin = rgb if bg is None else rgb + bg * (1.0 - out[:, 4:5])
+    sq = jnp.sum(target8[:, 3:4] * (rgb_fin - target8[:, :3]) ** 2)
+    return (sq, out), (dcenter, dray, dw, depth, target8, masks)
+
+
+def _fused_pe_rm_train_bwd(interpret, compute_dtype, bg, res, g):
+    g_sq, _g_out = g   # out is metrics-only; the wrapper stop-gradients it
+    dcenter, dray, dw, depth, target8, masks = res
+    zero_masks = tuple(jnp.zeros_like(m) for m in masks)
+    return (dcenter * g_sq, dray * g_sq, jnp.zeros_like(depth),
+            jnp.zeros_like(target8), zero_masks,
+            {k: v * g_sq for k, v in dw.items()})
+
+
+fused_mlp_pe_rm_train.defvjp(_fused_pe_rm_train_fwd, _fused_pe_rm_train_bwd)
+
+
+def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
+                               progress=None, barf_c2f=None,
+                               setbg_opaque=False, bgcolor=None,
+                               interpret=False, compute_dtype="float32"):
+    """Training-only fused render+MSE (no fine sampling).
+
+    center/ray: [B,R,3]; depth: [B,R,K,1] sorted ascending; target [B,R,3].
+    Returns (out_dict, sq_sum, n_terms): out_dict's rgb/depth/opacity are
+    stop-gradiented (metrics only); losses['render'] = sq_sum / n_terms is
+    the differentiable photometric MSE, with gradients flowing to
+    center/ray (the pose/warp chain) and the field weights through the
+    single fused kernel.
+    """
+    B, R_img, K = depth.shape[0], depth.shape[1], depth.shape[2]
+    n_rays = B * R_img
+    c = center.reshape(n_rays, 3)
+    r = ray.reshape(n_rays, 3)
+    d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
+    t8 = jnp.concatenate(
+        [target.reshape(n_rays, 3),
+         jnp.ones((n_rays, 1), jnp.float32),
+         jnp.zeros((n_rays, 4), jnp.float32)], axis=1)
+    pad = (-n_rays) % R_BLK
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
+        r = jnp.concatenate(
+            [r, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], r.dtype), (pad, 1))],
+            axis=0)
+        d = jnp.concatenate([d, jnp.ones((pad, K), d.dtype)], axis=0)
+        t8 = jnp.concatenate([t8, jnp.zeros((pad, 8), t8.dtype)], axis=0)
+    masks = tuple(jax.lax.stop_gradient(m)
+                  for m in pe_mask_rows(progress if progress is not None
+                                        else 1.0, barf_c2f))
+    bg = float(bgcolor) if setbg_opaque else None
+    sq, out = fused_mlp_pe_rm_train(
+        c, r, d, jax.lax.stop_gradient(t8), interpret, compute_dtype, bg,
+        masks, ff.pack_weights(params))
+    out = jax.lax.stop_gradient(out)[:n_rays]
+    rgb = out[:, :3].reshape(B, R_img, 3)
+    depth_out = out[:, 3:4].reshape(B, R_img, 1)
+    opacity = out[:, 4:5].reshape(B, R_img, 1)
+    if setbg_opaque:
+        rgb = rgb + bgcolor * (1 - opacity)
+    return (dict(rgb=rgb, depth=depth_out, opacity=opacity), sq,
+            float(n_rays * 3))

@@ -232,3 +232,106 @@ def test_composited_ray_padding(setup):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(op_f), np.asarray(op_r),
                                rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# train variant (fused_mlp_pe_rm_train / fused_render_rays_pe_train):
+# one kernel computing forward + in-kernel MSE cotangent + backward
+# ---------------------------------------------------------------------------
+
+def _train_reference_loss(params, center, ray, depth, target, *,
+                          setbg=False, bgcolor=None, progress=0.4,
+                          c2f=(0.1, 0.5)):
+    """jnp-chain MSE through the full sample->field->composite core."""
+    rgb, d, op, _ = _composite_reference(params, center, ray, depth,
+                                         progress=progress, c2f=c2f)
+    if setbg:
+        rgb = rgb + bgcolor * (1 - op)
+    return jnp.mean((rgb - target) ** 2)
+
+
+def _train_fused(params, center, ray, depth, target, *, setbg=False,
+                 bgcolor=None, progress=0.4, c2f=(0.1, 0.5)):
+    out, sq, n = fused_pe.fused_render_rays_pe_train(
+        params, ARCH, center, ray, depth, target, progress=progress,
+        barf_c2f=c2f, setbg_opaque=setbg, bgcolor=bgcolor, interpret=True)
+    return sq / n, out
+
+
+@pytest.mark.parametrize("setbg", [False, True])
+def test_train_kernel_loss_and_grad_parity(setup, setbg):
+    """Exact-FMA depths: loss value and ALL gradients (params, center, ray)
+    of the fused train kernel must match the jnp chain tightly — including
+    through the in-kernel cotangent and the setbg_opaque background chain."""
+    params, center, ray, _ = setup
+    rng = np.random.RandomState(7)
+    B, R, K = center.shape[0], center.shape[1], 128
+    base = np.sort(rng.choice([0.5, 1.0, 2.0, 4.0], (B, R, K)), axis=-1)
+    depth = jnp.asarray(base[..., None].astype(np.float32))
+    target = jnp.asarray(rng.rand(B, R, 3).astype(np.float32))
+    bg = 1.0 if setbg else None
+
+    def ref(params, center, ray):
+        return _train_reference_loss(params, center, ray, depth, target,
+                                     setbg=setbg, bgcolor=bg)
+
+    def fused(params, center, ray):
+        return _train_fused(params, center, ray, depth, target,
+                            setbg=setbg, bgcolor=bg)[0]
+
+    l_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1, 2))(
+        params, center, ray)
+    l_f, g_f = jax.value_and_grad(fused, argnums=(0, 1, 2))(
+        params, center, ray)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    for a, b, name in ((g_ref[1], g_f[1], "center"),
+                       (g_ref[2], g_f[2], "ray")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-7, err_msg=name)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref[0]),
+            jax.tree_util.tree_leaves_with_path(g_f[0])):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-7,
+            err_msg=jax.tree_util.keystr(pa))
+
+
+def test_train_kernel_outputs_match_fwd_kernel(setup):
+    """The train kernel's metric outputs must equal the plain composited
+    forward kernel's (same compositing math, chunked per-ray)."""
+    params, center, ray, depth = setup
+    rng = np.random.RandomState(9)
+    B, R = center.shape[0], center.shape[1]
+    target = jnp.asarray(rng.rand(B, R, 3).astype(np.float32))
+    rgb_f, d_f, op_f = _composite_fused(params, center, ray, depth,
+                                        progress=0.4, c2f=(0.1, 0.5))
+    _, out = _train_fused(params, center, ray, depth, target)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(rgb_f),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out["depth"]), np.asarray(d_f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["opacity"]), np.asarray(op_f),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_train_kernel_padding_does_not_leak(setup):
+    """Padded rays (valid=0) must contribute nothing: same weight gradients
+    with 3 rays (padded to 8) as the jnp chain on exactly those 3 rays."""
+    params, center, ray, _ = setup
+    rng = np.random.RandomState(11)
+    B, R, K = 1, 3, 128
+    base = np.sort(rng.choice([0.5, 1.0, 2.0, 4.0], (B, R, K)), axis=-1)
+    depth = jnp.asarray(base[..., None].astype(np.float32))
+    c1, r1 = center[:1], ray[:1]
+    target = jnp.asarray(rng.rand(B, R, 3).astype(np.float32))
+
+    g_ref = jax.grad(lambda p: _train_reference_loss(
+        p, c1, r1, depth, target))(params)
+    g_f = jax.grad(lambda p: _train_fused(
+        p, c1, r1, depth, target)[0])(params)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-7,
+            err_msg=jax.tree_util.keystr(pa))
