@@ -21,7 +21,9 @@ def main():
     ap.add_argument("--mlp-subs", default="256")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--skip-ff", action="store_true")
+    ap.add_argument("--skip-pe", action="store_true")
     ap.add_argument("--skip-rm", action="store_true")
+    ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -88,7 +90,8 @@ def main():
 
     for r_blk in (int(x) for x in args.r_blks.split(",")):
         fp.set_ray_block(r_blk)
-        for mlp_sub in (int(x) for x in args.mlp_subs.split(",")):
+        for mlp_sub in (() if args.skip_pe else
+                        tuple(int(x) for x in args.mlp_subs.split(","))):
             fp.set_mlp_sub(mlp_sub)
             for cdt in dtypes:
                 p_fwd = scalarize(lambda c, r, d, w: fp.fused_mlp_pe(
@@ -126,6 +129,24 @@ def main():
                               r_blk, mlp_sub, cdt, t1, t2), flush=True)
                 except Exception as e:
                     print("rm  R_BLK={:2d} SUB={:4d} {} FAILED: {}".format(
+                        r_blk, mlp_sub, cdt, str(e)[:200]), flush=True)
+        for mlp_sub in (() if args.skip_train else
+                        tuple(int(x) for x in args.mlp_subs.split(","))):
+            fp.set_mlp_sub(mlp_sub)
+            t8 = jnp.concatenate(
+                [jnp.asarray(rng.rand(n_rays, 3).astype(np.float32)),
+                 jnp.ones((n_rays, 1), jnp.float32),
+                 jnp.zeros((n_rays, 4), jnp.float32)], axis=1)
+            for cdt in dtypes:
+                tr = scalarize(lambda c, r, d, t, w: fp.fused_mlp_pe_rm_train(
+                    c, r, d, t, False, cdt, None, masks, w))
+                try:
+                    t1 = timeit(tr, c, r, d, t8, w)
+                    print("train R_BLK={:2d} SUB={:4d} {:9s} "
+                          "fwd+cot+bwd: {:6.2f} ms".format(
+                              r_blk, mlp_sub, cdt, t1), flush=True)
+                except Exception as e:
+                    print("train R_BLK={:2d} SUB={:4d} {} FAILED: {}".format(
                         r_blk, mlp_sub, cdt, str(e)[:200]), flush=True)
     fp.set_ray_block(8)
     fp.set_mlp_sub(512)

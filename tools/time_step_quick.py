@@ -25,6 +25,14 @@ def main():
     from neural_invertible_warp_tpu.models import get_system_class
     from neural_invertible_warp_tpu.data import llff as llff_data
 
+    import os
+    if not os.path.isdir("/tmp/evidence_r2c/llff/blobfern"):
+        import synth_data
+        synth_data.make_blob_llff_scene("/tmp/evidence_r2c/llff",
+                                        n_images=20, img_size=(480, 640),
+                                        n_blobs=24, val_ratio=0.1,
+                                        backdrop=True)
+
     opt = evidence_r2.build("barf_inn_llff", [
         "--model=barf_inn_llff", "--yaml=barf_inn_llff",
         "--data.root=/tmp/evidence_r2c/llff", "--data.scene=blobfern",

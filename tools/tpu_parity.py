@@ -73,6 +73,45 @@ def main():
             print("progress {:.2f} {:12s} loss rel diff {:.2e} | worst "
                   "grad rel-L2 {:.2e} | {}".format(
                       progress, name, dv, worst, "OK" if ok else "FAIL"))
+
+    # train op (fwd + in-kernel MSE cotangent + bwd in one pallas call):
+    # photometric-MSE loss value + all gradients vs the XLA chain
+    from neural_invertible_warp_tpu.ops import render
+    target = jnp.array(rng.rand(B, R, 3).astype(np.float32))
+
+    def make_mse(progress):
+        def ref_loss(params, center, ray):
+            rgb_s, dens = nerf_mlp.apply_nerf_samples(
+                params, ARCH, center, ray, depth, view_dep=True,
+                density_activ="softplus", progress=progress,
+                barf_c2f=(0.1, 0.5))
+            rgb, _, _, _ = render.composite(ray, rgb_s, dens, depth)
+            return jnp.mean((rgb - target) ** 2)
+
+        def train_loss(params, center, ray):
+            _, sq, n = fp.fused_render_rays_pe_train(
+                params, ARCH, center, ray, depth, target,
+                progress=progress, barf_c2f=(0.1, 0.5))
+            return sq / n
+        return (jax.jit(jax.value_and_grad(ref_loss, argnums=(0, 1, 2))),
+                jax.jit(jax.value_and_grad(train_loss, argnums=(0, 1, 2))))
+
+    for progress, tol in ((0.05, 1e-3), (0.25, 0.5)):
+        ref, tr = make_mse(progress)
+        v0, g0 = ref(params, center, ray)
+        v1, g1 = tr(params, center, ray)
+        dv = abs(float(v1) - float(v0)) / max(abs(float(v0)), 1e-12)
+        worst = 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g0)):
+            num = float(jnp.linalg.norm((a - b).ravel()))
+            den = max(float(jnp.linalg.norm(b.ravel())), 1e-10)
+            worst = max(worst, num / den)
+        ok = dv < 1e-3 and worst < tol
+        failures += 0 if ok else 1
+        print("progress {:.2f} {:12s} loss rel diff {:.2e} | worst "
+              "grad rel-L2 {:.2e} | {}".format(
+                  progress, "train_kernel", dv, worst, "OK" if ok else "FAIL"))
     return 1 if failures else 0
 
 
