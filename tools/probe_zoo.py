@@ -86,12 +86,12 @@ def main():
             "--data.image_size=[{},{}]".format(H, W), "--data.val_ratio=0.1",
         ]
         if "garf" in models:
-            # reference GARF protocol: identity init, pose warmup gating
-            run("garf", "garf_llff", llff_over + ["--init.pose_warmup=1000"],
-                args.iters, args.log_every)
+            # reference GARF protocol: identity init, pose optimization from
+            # step 0 (warmup is only legal with known init poses,
+            # reference model/garf.py:22-23)
+            run("garf", "garf_llff", llff_over, args.iters, args.log_every)
         if "garf_se3_field" in models:
-            run("garf_se3_field", "garf_llff_se3",
-                llff_over + ["--init.pose_warmup=1000"],
+            run("garf_se3_field", "garf_llff_se3", llff_over,
                 args.iters, args.log_every)
     if "barf_blender" in models:
         root, size = blender_scene()
