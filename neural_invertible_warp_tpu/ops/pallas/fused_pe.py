@@ -705,6 +705,42 @@ def _fused_pe_rm_bwd(interpret, compute_dtype, res, g):
 fused_mlp_pe_rm.defvjp(_fused_pe_rm_fwd, _fused_pe_rm_bwd)
 
 
+def _mesh_shards():
+    """(mesh, n_shards) when ray-axis sharding is active, else (None, 1).
+
+    GSPMD treats pallas_call as opaque (it would all-gather the rays and
+    run every chip over the FULL set — correct but unscaled), so the rm
+    wrappers dispatch through shard_map over the flattened ray axis when a
+    mesh is active: each chip runs the kernel on its ray shard; weight
+    cotangents are psum'd by shard_map's replicated-input transpose."""
+    from ...parallel import mesh as mesh_lib
+    mesh = mesh_lib.active_mesh()
+    if mesh is None or mesh.size <= 1:
+        return None, 1
+    return mesh, int(mesh.size)
+
+
+def _shard_map_fn():
+    """jax.shard_map (>=0.8, check_vma kwarg) or the legacy experimental
+    API (check_rep kwarg), normalized to accept check_rep."""
+    import functools as _ft
+    new = getattr(jax, "shard_map", None)
+    if new is not None:
+        def wrap(f, *, mesh, in_specs, out_specs, check_rep=True):
+            return new(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=check_rep)
+        return wrap
+    from jax.experimental.shard_map import shard_map as old
+    return old
+
+
+def _shard_spec(n_trailing):
+    """PartitionSpec sharding axis 0 over the ray mesh axis."""
+    from jax.sharding import PartitionSpec as P
+    from ...parallel.mesh import RAY_AXIS
+    return P(RAY_AXIS, *([None] * n_trailing))
+
+
 def fused_render_rays_pe(params, arch, center, ray, depth, *,
                          progress=None, barf_c2f=None, setbg_opaque=False,
                          bgcolor=None, interpret=False,
@@ -717,10 +753,11 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
     """
     B, R_img, K = depth.shape[0], depth.shape[1], depth.shape[2]
     n_rays = B * R_img
+    mesh, n_sh = _mesh_shards()
     c = center.reshape(n_rays, 3)
     r = ray.reshape(n_rays, 3)
     d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
-    pad = (-n_rays) % R_BLK
+    pad = (-n_rays) % (R_BLK * n_sh)
     if pad:
         c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
         r = jnp.concatenate(
@@ -730,8 +767,22 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
     masks = tuple(jax.lax.stop_gradient(m)
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
-    out = fused_mlp_pe_rm(c, r, d, interpret, compute_dtype,
-                          masks, ff.pack_weights(params))[:n_rays]
+    weights = ff.pack_weights(params)
+    if mesh is not None:
+        shard_map = _shard_map_fn()
+        from jax.sharding import PartitionSpec as P
+        rowspec = _shard_spec(1)
+        rep = jax.tree_util.tree_map(lambda _: P(), (masks, weights))
+        out = shard_map(
+            lambda cc, rr, dd, mm, ww: fused_mlp_pe_rm(
+                cc, rr, dd, interpret, compute_dtype, mm, ww),
+            mesh=mesh,
+            in_specs=(rowspec, rowspec, rowspec, rep[0], rep[1]),
+            out_specs=rowspec, check_rep=False,
+        )(c, r, d, masks, weights)[:n_rays]
+    else:
+        out = fused_mlp_pe_rm(c, r, d, interpret, compute_dtype,
+                              masks, weights)[:n_rays]
     rgb = out[:, :3].reshape(B, R_img, 3)
     depth_out = out[:, 3:4].reshape(B, R_img, 1)
     opacity = out[:, 4:5].reshape(B, R_img, 1)
@@ -967,6 +1018,7 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
     """
     B, R_img, K = depth.shape[0], depth.shape[1], depth.shape[2]
     n_rays = B * R_img
+    mesh, n_sh = _mesh_shards()
     c = center.reshape(n_rays, 3)
     r = ray.reshape(n_rays, 3)
     d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
@@ -974,7 +1026,7 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
         [target.reshape(n_rays, 3),
          jnp.ones((n_rays, 1), jnp.float32),
          jnp.zeros((n_rays, 4), jnp.float32)], axis=1)
-    pad = (-n_rays) % R_BLK
+    pad = (-n_rays) % (R_BLK * n_sh)
     if pad:
         c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
         r = jnp.concatenate(
@@ -986,9 +1038,28 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
     bg = float(bgcolor) if setbg_opaque else None
-    sq, out = fused_mlp_pe_rm_train(
-        c, r, d, jax.lax.stop_gradient(t8), interpret, compute_dtype, bg,
-        masks, ff.pack_weights(params))
+    t8 = jax.lax.stop_gradient(t8)
+    weights = ff.pack_weights(params)
+    if mesh is not None:
+        shard_map = _shard_map_fn()
+        from jax.sharding import PartitionSpec as P
+        from ...parallel.mesh import RAY_AXIS
+        rowspec = _shard_spec(1)
+        rep = jax.tree_util.tree_map(lambda _: P(), (masks, weights))
+
+        def _local(cc, rr, dd, tt, mm, ww):
+            sq_l, out_l = fused_mlp_pe_rm_train(
+                cc, rr, dd, tt, interpret, compute_dtype, bg, mm, ww)
+            return jax.lax.psum(sq_l, RAY_AXIS), out_l
+
+        sq, out = shard_map(
+            _local, mesh=mesh,
+            in_specs=(rowspec, rowspec, rowspec, rowspec, rep[0], rep[1]),
+            out_specs=(P(), rowspec), check_rep=False,
+        )(c, r, d, t8, masks, weights)
+    else:
+        sq, out = fused_mlp_pe_rm_train(
+            c, r, d, t8, interpret, compute_dtype, bg, masks, weights)
     out = jax.lax.stop_gradient(out)[:n_rays]
     rgb = out[:, :3].reshape(B, R_img, 3)
     depth_out = out[:, 3:4].reshape(B, R_img, 1)

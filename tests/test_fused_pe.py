@@ -314,6 +314,48 @@ def test_train_kernel_outputs_match_fwd_kernel(setup):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_kernels_under_ray_mesh(setup):
+    """shard_map dispatch (active ray mesh): the rm wrappers must produce
+    the same values AND gradients as the unsharded call — GSPMD treats
+    pallas_call as opaque, so the wrappers shard the flattened ray axis
+    explicitly and psum the loss / weight cotangents."""
+    from neural_invertible_warp_tpu.parallel import mesh as mesh_lib
+    params, center, ray, _ = setup
+    rng = np.random.RandomState(13)
+    B, R, K = center.shape[0], center.shape[1], 128
+    base = np.sort(rng.choice([0.5, 1.0, 2.0, 4.0], (B, R, K)), axis=-1)
+    depth = jnp.asarray(base[..., None].astype(np.float32))
+    target = jnp.asarray(rng.rand(B, R, 3).astype(np.float32))
+
+    def train_loss(params, center, ray):
+        return _train_fused(params, center, ray, depth, target)[0]
+
+    def eval_probe(params, center, ray):
+        rgb, d, op = _composite_fused(params, center, ray, depth,
+                                      progress=0.4, c2f=(0.1, 0.5))
+        return jnp.mean(rgb ** 2) + jnp.mean(op), rgb
+
+    l0, g0 = jax.value_and_grad(train_loss, argnums=(0, 1, 2))(
+        params, center, ray)
+    (e0, rgb0), ge0 = jax.value_and_grad(eval_probe, argnums=(0, 2),
+                                         has_aux=True)(params, center, ray)
+    mesh = mesh_lib.make_mesh(n_devices=2)
+    with mesh_lib.use_mesh(mesh):
+        l1, g1 = jax.value_and_grad(train_loss, argnums=(0, 1, 2))(
+            params, center, ray)
+        (e1, rgb1), ge1 = jax.value_and_grad(eval_probe, argnums=(0, 2),
+                                             has_aux=True)(params, center,
+                                                           ray)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves((g0, ge0)),
+                    jax.tree_util.tree_leaves((g1, ge1))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-8)
+
+
 def test_train_kernel_padding_does_not_leak(setup):
     """Padded rays (valid=0) must contribute nothing: same weight gradients
     with 3 rays (padded to 8) as the jnp chain on exactly those 3 rays."""
