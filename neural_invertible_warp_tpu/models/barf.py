@@ -64,7 +64,9 @@ class BarfSystem(NerfSystem):
 
     def make_optimizers(self):
         txs = super().make_optimizers()
-        txs["pose"] = optax.adam(learning_rate=self.pose_lr_schedule())
+        from .system import clip_wrap
+        txs["pose"] = clip_wrap(optax.adam(learning_rate=self.pose_lr_schedule()),
+                                self.opt.optim.get("clip_norm_pose"))
         return txs
 
     # ----------------------------------------------------------------- poses

@@ -125,8 +125,11 @@ class InnWarpSystem(BarfSystem):
         # the latent embedding shares the pose lr/schedule but, like the
         # reference's second param group, is NOT subject to warmup
         # (model/barf.py:46-55 applies warmup to param_groups[0] only)
-        txs["latent"] = optax.adam(
-            learning_rate=lambda count: opt.optim.lr_pose * gamma ** count)
+        from .system import clip_wrap
+        txs["latent"] = clip_wrap(
+            optax.adam(
+                learning_rate=lambda count: opt.optim.lr_pose * gamma ** count),
+            opt.optim.get("clip_norm_pose"))
         txs["frozen"] = optax.set_to_zero()
         return txs
 
@@ -255,7 +258,9 @@ class InnWarpSystem(BarfSystem):
         if self.opt.loss_weight.get("global_alignment") is not None:
             source = jnp.concatenate([extras["grid_cam"], extras["center_cam"]], 1)
             target_pts = jnp.concatenate([extras["grid_w"], extras["center_w"]], 1)
-            R, t = align.rigid_points_registration(target_pts, source)
+            R, t = align.rigid_points_registration(
+                target_pts, source,
+                method=self.opt.tpu.get("procrustes", "svd"))
             svd_poses = jnp.concatenate([R, t[..., None]], axis=-1)   # w2c readout
             losses["global_alignment"] = jnp.mean(
                 (target_pts - pose_ops.cam2world(source, svd_poses)) ** 2)

@@ -24,6 +24,19 @@ from ..parallel import mesh as mesh_lib
 from ..utils import log
 
 
+def clip_wrap(tx, max_norm):
+    """Optionally prepend global-norm gradient clipping to an optimizer.
+
+    No reference equivalent (the reference never clips); off by default.
+    Useful for very long runs where the BARF c2f opening of the finest PE
+    bands (x1000-class gradient amplification, NOTES_r2) can kick an
+    already-converged pose solution out of its basin.
+    """
+    if max_norm:
+        return optax.chain(optax.clip_by_global_norm(float(max_norm)), tx)
+    return tx
+
+
 def exp_decay_gamma(opt, lr, lr_end):
     """gamma = (lr_end/lr)^(1/max_iter) (reference model/nerf.py:42-44)."""
     if lr_end:
@@ -137,7 +150,8 @@ class NerfSystem:
         opt = self.opt
         gamma = exp_decay_gamma(opt, opt.optim.lr, opt.optim.get("lr_end"))
         sched = lambda count: opt.optim.lr * gamma ** count
-        return {"main": optax.adam(learning_rate=sched)}
+        return {"main": clip_wrap(optax.adam(learning_rate=sched),
+                                  opt.optim.get("clip_norm"))}
 
     def init_state(self, key):
         from ..utils.flat_optim import FlatMultiOptimizer

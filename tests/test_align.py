@@ -108,3 +108,97 @@ def test_apply_sim3_roundtrip():
     fwd = align.apply_sim3_to_poses(pose, sim3, "pred_to_GT")
     back = align.apply_sim3_to_poses(fwd, sim3, "GT_to_pred")
     np.testing.assert_allclose(np.asarray(back), np.asarray(pose), atol=1e-4)
+
+
+def test_quat_procrustes_matches_svd_forward():
+    # random noisy cross-covariances, including reflection-dominant ones.
+    # Element-wise R parity is only well-posed where the problem itself is
+    # well-conditioned (near-equal singular values with det<0 make the
+    # optimal R ambiguous), so assert the OBJECTIVE <R,M> matches for all
+    # and the matrices match where the optimum is unique.
+    B = 64
+    M = rng.randn(B, 3, 3).astype(np.float32)
+    R_svd = np.asarray(align.procrustes_rotation(jnp.array(M)))
+    R_quat = np.asarray(align.procrustes_rotation_quat(jnp.array(M)))
+    assert np.all(np.linalg.det(R_quat) > 0)
+    np.testing.assert_allclose(np.linalg.norm(R_quat @ R_quat.transpose(0, 2, 1)
+                                              - np.eye(3), axis=(1, 2)),
+                               0, atol=1e-5)
+    obj_svd = (R_svd * M).sum(axis=(1, 2))
+    obj_quat = (R_quat * M).sum(axis=(1, 2))
+    np.testing.assert_allclose(obj_quat, obj_svd, rtol=1e-5, atol=1e-5)
+    s = np.linalg.svd(M, compute_uv=False)
+    det = np.linalg.det(M)
+    gap = np.where(det > 0, s[:, 1] + s[:, 2], s[:, 1] - s[:, 2])
+    well = gap > 0.2 * s[:, 0]
+    assert well.sum() > B // 2
+    np.testing.assert_allclose(R_quat[well], R_svd[well], atol=2e-4)
+
+
+def test_quat_procrustes_near_rigid_and_planar():
+    # the regime the INN global-alignment loss lives in: M ~= s * R from a
+    # near-rigid warp of the pixel grid (planar z=1 grid + camera center)
+    B = 8
+    Rt = _random_R(B)
+    grid = rng.rand(B, 200, 3).astype(np.float32)
+    grid[..., 2] = 1.0                                  # planar part
+    grid[:, 0] = 0.0                                    # camera center
+    y = np.einsum("bij,bnj->bni", Rt, grid) + 0.01 * rng.randn(B, 200, 3).astype(np.float32)
+    for method in ("svd", "quat"):
+        R_est, _ = align.rigid_points_registration(
+            jnp.array(grid), jnp.array(y), method=method)
+        np.testing.assert_allclose(np.asarray(R_est), Rt, atol=5e-3)
+
+
+def test_quat_procrustes_gradients_match_svd():
+    # well-conditioned regime (near-rigid M, the global-alignment case):
+    # the two custom VJPs are the same linear map
+    B = 16
+    M = (_random_R(B) * rng.uniform(0.5, 2.0, (B, 1, 1))
+         + 0.1 * rng.randn(B, 3, 3)).astype(np.float32)
+    G = rng.randn(B, 3, 3).astype(np.float32)
+
+    def f(fn, m):
+        return jnp.sum(fn(m) * G)
+
+    g_svd = np.asarray(jax.grad(lambda m: f(align.procrustes_rotation, m))(jnp.array(M)))
+    g_quat = np.asarray(jax.grad(lambda m: f(align.procrustes_rotation_quat, m))(jnp.array(M)))
+    np.testing.assert_allclose(g_quat, g_svd, rtol=2e-3, atol=1e-4)
+    # adversarial (possibly degenerate) M: gradients must stay finite
+    M_bad = rng.randn(B, 3, 3).astype(np.float32)
+    g_bad = np.asarray(jax.grad(
+        lambda m: f(align.procrustes_rotation_quat, m))(jnp.array(M_bad)))
+    assert np.all(np.isfinite(g_bad))
+
+
+def test_quat_procrustes_gradient_vs_finite_differences():
+    M = rng.randn(3, 3).astype(np.float64) + 2 * np.eye(3)
+    G = rng.randn(3, 3).astype(np.float64)
+    M_j = jnp.array(M, jnp.float32)
+
+    def f(m):
+        return jnp.sum(align.procrustes_rotation_quat(m) * jnp.array(G, jnp.float32))
+
+    g = np.asarray(jax.grad(f)(M_j))
+    eps = 1e-3
+    for i in range(3):
+        for j in range(3):
+            dm = np.zeros((3, 3)); dm[i, j] = eps
+            fd = (float(f(jnp.array(M + dm, jnp.float32))) -
+                  float(f(jnp.array(M - dm, jnp.float32)))) / (2 * eps)
+            np.testing.assert_allclose(g[i, j], fd, rtol=5e-2, atol=5e-3)
+
+
+def test_rigid_registration_loss_grads_match_between_methods():
+    # the exact global-alignment loss shape: grad w.r.t. the warped points
+    x = jnp.array(rng.randn(4, 60, 3).astype(np.float32))
+    y = jnp.array((np.asarray(x) + 0.05 * rng.randn(4, 60, 3)).astype(np.float32))
+
+    def loss(y_, method):
+        R, t = align.rigid_points_registration(y_, x, method=method)
+        pred = jnp.einsum("bij,bnj->bni", R, y_) + t[:, None]
+        return jnp.mean((pred - x) ** 2)
+
+    g_svd = np.asarray(jax.grad(lambda y_: loss(y_, "svd"))(y))
+    g_quat = np.asarray(jax.grad(lambda y_: loss(y_, "quat"))(y))
+    np.testing.assert_allclose(g_quat, g_svd, rtol=2e-3, atol=1e-6)

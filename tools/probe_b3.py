@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--spread", type=float, default=0.5)
     ap.add_argument("--dense", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-iter", type=int, default=200000,
+                    help="config max_iter (schedule horizon: c2f/lr-decay "
+                         "fractions scale with it)")
+    ap.add_argument("--max-pe-iter", type=int, default=100000)
+    ap.add_argument("--ckpt-freq", type=int, default=1000000)
+    ap.add_argument("--out-root", default="/tmp/probe_b3_out")
+    ap.add_argument("--log-every", type=int, default=2000)
     ap.add_argument("--overrides", default="",
                     help="comma-separated extra --k=v config overrides")
     args = ap.parse_args()
@@ -52,11 +59,12 @@ def main():
         "--data.image_size=[{},{}]".format(H, W),
         "--data.val_ratio=0.1",
         "--barf_c2f=[0.1,0.5]",
-        "--inn.real_nvp.max_pe_iter=100000",
+        "--inn.real_nvp.max_pe_iter={}".format(args.max_pe_iter),
         "--loss_weight.global_alignment=4",
-        "--max_iter=200000",
-        "--freq.scalar=1000000", "--freq.val=1000000", "--freq.ckpt=1000000",
-        "--output_root=/tmp/probe_b3_out", "--group=r2", "--name=probe",
+        "--max_iter={}".format(args.max_iter),
+        "--freq.scalar=1000000", "--freq.val=1000000",
+        "--freq.ckpt={}".format(args.ckpt_freq),
+        "--output_root={}".format(args.out_root), "--group=r2", "--name=probe",
         "--seed={}".format(args.seed),
     ] + overrides)
     trainer = evidence_r2.make_trainer(opt)
@@ -65,7 +73,8 @@ def main():
     print("initial:", dict(rot=float(np.rad2deg(np.mean(R0))),
                            trans=float(np.mean(t0))), flush=True)
     state, history = evidence_r2.train_loop(system, state, args.iters,
-                                            spc=200, log_every=2000)
+                                            spc=200,
+                                            log_every=args.log_every)
     val = system.validate(state)
     print("probe val PSNR: {:.2f}".format(val["psnr_val"]), flush=True)
 

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--yaml", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--max-iter", type=int, default=200000,
+                    help="config max_iter (see run_ref.py: compressing it "
+                         "makes late-phase c2f dynamics CPU-reachable)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (hermetic; else TPU if up)")
     ap.add_argument("--overrides", default="")
@@ -54,7 +57,7 @@ def main():
         "--data.val_ratio=0.1",
         "--barf_c2f=[0.1,0.5]",
         "--loss_weight.global_alignment=4",
-        "--max_iter=200000",
+        "--max_iter={}".format(args.max_iter),
         "--freq.scalar=1000000", "--freq.val=1000000", "--freq.ckpt=1000000",
         "--output_root=/tmp/refctl/jax_out",
         "--group=refctl", "--name={}".format(args.model),

@@ -103,6 +103,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--small", action="store_true",
                     help="reduced matched config (CPU-feasible)")
+    ap.add_argument("--max-iter", type=int, default=200000,
+                    help="config max_iter: compressing it rescales the c2f "
+                         "window and lr-decay fractions so late-phase "
+                         "dynamics (band opening at ~0.45*max_iter) become "
+                         "CPU-reachable")
     ap.add_argument("--overrides", default="",
                     help="comma-separated extra --k=v overrides")
     args = ap.parse_args()
@@ -127,8 +132,8 @@ def main():
         "--data.num_workers=2",
         "--barf_c2f=[0.1,0.5]",
         "--loss_weight.global_alignment=4",
-        "--max_iter=200000",           # schedules span the paper horizon;
-                                       # we run only --iters of it
+        "--max_iter={}".format(args.max_iter),  # schedules span this horizon;
+                                                # we run only --iters of it
         "--freq.scalar=1000000000", "--freq.vis=1000000000",
         "--freq.val=1000000000", "--freq.ckpt=1000000000",
         "--output_root={}".format(args.out_root),
