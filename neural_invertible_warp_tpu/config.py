@@ -122,6 +122,16 @@ def process_options(opt):
     if prec:
         import jax
         jax.config.update("jax_default_matmul_precision", str(prec))
+    # Persistent compilation cache: remote TPU compiles through the axon
+    # tunnel take 3-8 min for a fresh program; caching serialized
+    # executables on disk makes repeated runs of the same config start in
+    # seconds (tpu.compile_cache: path | empty to disable).
+    cache_dir = (opt.get("tpu") or {}).get("compile_cache",
+                                           "/tmp/jax_compile_cache")
+    if cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     return opt
 
 

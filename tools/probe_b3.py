@@ -52,7 +52,7 @@ def main():
             spread=args.spread, dense=args.dense)
         print("scene built", flush=True)
 
-    overrides = [o for o in args.overrides.split(",") if o]
+    overrides = ["--" + o.lstrip("-") for o in args.overrides.split(",") if o]
     opt = evidence_r2.build("barf_inn_llff", [
         "--model=barf_inn_llff", "--yaml=barf_inn_llff",
         "--data.root={}".format(args.scene_root), "--data.scene=blobfern",
