@@ -105,6 +105,30 @@ def _dot_nt(a, b, cdt=jnp.float32):
                                precision=_KERNEL_PRECISION)
 
 
+# The PE frequency projections must NOT run at DEFAULT precision: the MXU's
+# bf16 operand pass costs ~2^-9 relative error on the POSITIONS, and the
+# finest c2f band multiplies positions by 2^9*pi — turning that rounding
+# into O(2pi) phase noise, i.e. the finest PE features become spatial
+# garbage the moment the BARF c2f schedule opens them. Empirically this
+# kicks a converged joint pose+field solution out of its basin at
+# ~0.42*max_iter and resettles it ~8 deg off (r3 kick study, NOTES_r3).
+# These dots have a contraction dim of only 3 (fwd) / 64 (bwd transpose),
+# so HIGHEST (multi-pass f32) costs nothing measurable — unlike the big
+# MLP dots, where the global 'highest' flag blew scoped VMEM (above).
+_PE_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _dot_pe(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_PE_PRECISION)
+
+
+def _dot_nt_pe(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_PE_PRECISION)
+
+
 def _forward_block(xp, view, w, keep=False, cdt=jnp.float32):
     """Shared forward math on one block. Returns (out, cache-or-None)."""
     hs = []

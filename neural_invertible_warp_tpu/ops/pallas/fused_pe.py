@@ -122,16 +122,19 @@ def _encode_block(center, ray, depth, mid3, ws3, wc3, midv, wsv, wcv,
 
     pts are built explicitly ([n,3], two narrow ops) and THEN projected by
     one [n,3]@[3,64] matmul: the one-hot F columns make each output a single
-    fp32 product, so interpret-mode values match the jnp reference exactly
-    (the algebraically-equal cF + rF*d form reassociates the rounding at
-    high frequencies, ~5e-4 relative)."""
+    fp32 product, so values match the jnp reference exactly (the
+    algebraically-equal cF + rF*d form reassociates the rounding at high
+    frequencies, ~5e-4 relative). The projection runs at HIGHEST precision
+    (ff._dot_pe): a DEFAULT bf16 pass here quantizes POSITIONS, which the
+    finest c2f bands amplify into O(2pi) phase noise — see fused_field.py::
+    _PE_PRECISION for the full story."""
     R, K = depth.shape
     n = R * K
     c3 = jnp.broadcast_to(center[:, None, :], (R, K, 3)).reshape(n, 3)
     r3 = jnp.broadcast_to(ray[:, None, :], (R, K, 3)).reshape(n, 3)
     d3 = jnp.broadcast_to(depth[:, :, None], (R, K, 3)).reshape(n, 3)
     pts = c3 + r3 * d3                                        # [n,3]
-    xp_pre = ff._dot(pts, F3)                                 # [n,64]
+    xp_pre = ff._dot_pe(pts, F3)                                 # [n,64]
     xp = mid3 * xp_pre + ws3 * jnp.sin(xp_pre) + wc3 * jnp.cos(xp_pre)
 
     # per-ray view encoding (reference: ray_unit = ray / clip(|ray|, 1e-12));
@@ -139,7 +142,7 @@ def _encode_block(center, ray, depth, mid3, ws3, wc3, midv, wsv, wcv,
     norm = jnp.sqrt(jnp.sum(ray * ray, axis=1, keepdims=True))
     inv = 1.0 / jnp.maximum(norm, 1e-12)
     ru = ray / jnp.maximum(norm, 1e-12)                       # [R,3]
-    vF = ff._dot(ru, Fv)                                      # [R,32]
+    vF = ff._dot_pe(ru, Fv)                                      # [R,32]
     vi_r = midv * vF + wsv * jnp.sin(vF) + wcv * jnp.cos(vF)  # [R,32]
     vi = jnp.broadcast_to(vi_r[:, None, :], (R, K, D_VIEW)).reshape(n, D_VIEW)
     return xp, vi, (xp_pre, d3, vF, ru, inv)
@@ -202,14 +205,14 @@ def _bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
 
     # PE backward: xp = m_id*pre + w_sin*sin(pre) + w_cos*cos(pre)
     dxp_pre = (mid3 + ws3 * jnp.cos(xp_pre) - wc3 * jnp.sin(xp_pre)) * dxp
-    dpts = ff._dot_nt(dxp_pre, F3)                            # [n,3]
+    dpts = ff._dot_nt_pe(dxp_pre, F3)                            # [n,3]
     dcenter = jnp.sum(dpts.reshape(R, K, 3), axis=1)          # [R,3]
     dray = jnp.sum((dpts * d3).reshape(R, K, 3), axis=1)
 
     # view backward (per-ray): vi_r = m*vF + ws*sin(vF) + wc*cos(vF)
     dvi_r = jnp.sum(dview.reshape(R, K, D_VIEW), axis=1)      # [R,32]
     dvF = (midv + wsv * jnp.cos(vF) - wcv * jnp.sin(vF)) * dvi_r
-    dru = ff._dot_nt(dvF, Fv)                                 # [R,3]
+    dru = ff._dot_nt_pe(dvF, Fv)                                 # [R,3]
     # ru = ray * inv, inv = 1/max(|ray|, 1e-12)
     dray = dray + dru * inv \
         - ru * (jnp.sum(dru * ru, axis=1, keepdims=True) * inv)
@@ -605,13 +608,13 @@ def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
     dview = jnp.concatenate(dview_parts, axis=0)
 
     dxp_pre = (mid3 + ws3 * jnp.cos(xp_pre) - wc3 * jnp.sin(xp_pre)) * dxp
-    dpts = ff._dot_nt(dxp_pre, F3)
+    dpts = ff._dot_nt_pe(dxp_pre, F3)
     dcenter = jnp.sum(dpts.reshape(R, K, 3), axis=1)
     dray = jnp.sum((dpts * d3).reshape(R, K, 3), axis=1)
 
     dvi_r = jnp.sum(dview.reshape(R, K, D_VIEW), axis=1)
     dvF = (midv + wsv * jnp.cos(vF) - wcv * jnp.sin(vF)) * dvi_r
-    dru = ff._dot_nt(dvF, Fv)
+    dru = ff._dot_nt_pe(dvF, Fv)
     dray = dray + dru * inv \
         - ru * (jnp.sum(dru * ru, axis=1, keepdims=True) * inv)
 
@@ -915,13 +918,13 @@ def _rm_train_pe_kernel(cdt, bg, center_ref, ray_ref, depth_ref, mid3_ref,
     dview = jnp.concatenate(dview_parts, axis=0)
 
     dxp_pre = (mid3 + ws3 * jnp.cos(xp_pre) - wc3 * jnp.sin(xp_pre)) * dxp
-    dpts = ff._dot_nt(dxp_pre, F3)
+    dpts = ff._dot_nt_pe(dxp_pre, F3)
     dcenter = jnp.sum(dpts.reshape(R, K, 3), axis=1)
     dray = jnp.sum((dpts * d3).reshape(R, K, 3), axis=1)
 
     dvi_r = jnp.sum(dview.reshape(R, K, D_VIEW), axis=1)
     dvF = (midv + wsv * jnp.cos(vF) - wcv * jnp.sin(vF)) * dvi_r
-    dru = ff._dot_nt(dvF, Fv)
+    dru = ff._dot_nt_pe(dvF, Fv)
     dray = dray + dru * inv \
         - ru * (jnp.sum(dru * ru, axis=1, keepdims=True) * inv)
 
