@@ -377,3 +377,26 @@ def test_train_kernel_padding_does_not_leak(setup):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-7,
             err_msg=jax.tree_util.keystr(pa))
+
+
+def test_pe_projection_precision_tripwire():
+    """The PE frequency projections MUST run at HIGHEST precision on TPU.
+
+    Regression tripwire for the late-phase kick (EVIDENCE_r3.md §5d): at
+    DEFAULT precision the MXU's bf16 operand pass quantizes POSITIONS to
+    8 mantissa bits, and the finest c2f band (2^9*pi) amplifies that to
+    ~10 radians of phase noise — which kicks a converged joint pose+field
+    solution out of its basin at ~0.42*max_iter. Device-specific, so the
+    interpret-mode parity tests above cannot catch a reversion; pin the
+    constant instead.
+    """
+    from neural_invertible_warp_tpu.ops.pallas import fused_field as ff
+    assert ff._PE_PRECISION is jax.lax.Precision.HIGHEST
+    # and the PE call sites actually route through the _pe variants
+    import inspect
+    src = inspect.getsource(fused_pe)
+    assert "ff._dot_pe(pts, F3)" in src
+    assert "ff._dot_pe(ru, Fv)" in src
+    assert "ff._dot_nt_pe(dxp_pre, F3)" in src
+    assert "ff._dot_nt_pe(dvF, Fv)" in src
+    assert "ff._dot(pts, F3)" not in src.replace("ff._dot_pe(pts, F3)", "")
