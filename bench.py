@@ -130,6 +130,9 @@ def build():
     from neural_invertible_warp_tpu import config
     from neural_invertible_warp_tpu.models import get_system_class
 
+    # ad-hoc config overrides for A/B runs: bench.py --set tpu.procrustes=quat
+    extra = ["--" + sys.argv[i + 1].lstrip("-")
+             for i, a in enumerate(sys.argv) if a == "--set"]
     opt = config.load_options("options/barf_inn_llff.yaml")
     over = config.parse_arguments([
         "--model=barf_inn_llff", "--yaml=barf_inn_llff",
@@ -137,7 +140,7 @@ def build():
         "--loss_weight.global_alignment=4",   # scripts/train_llff.sh weights
     ] + (["--nerf.rand_rays={}".format(RAND_RAYS), "--nerf.sample_intvs=16",
           "--inn.real_nvp.d_hidden=32", "--warp_latent.embed_dim=16"]
-         if QUICK else []))
+         if QUICK else []) + extra)
     opt = config.override_options(opt, over, key_stack=[], safe_check=True)
     opt.H, opt.W = H, W
     # match the shipped default (config.process_options): fp32 XLA matmuls
