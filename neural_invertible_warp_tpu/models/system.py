@@ -108,6 +108,11 @@ class NerfSystem:
 
     def apply_field_samples(self, field_params, center, ray, depth, **kwargs):
         mode = self._use_fused_field()
+        if kwargs.get("density_noise_reg") and kwargs.get("noise_key") is not None:
+            # pre-activation density noise (reference model/nerf.py:430-433)
+            # is not expressible outside the fused kernels, whose density
+            # comes out post-softplus — use the jnp path for exactness
+            mode = "off"
         if mode == "pe":
             K = depth.shape[2]
             from ..ops.pallas import fused_pe
@@ -196,7 +201,10 @@ class NerfSystem:
         if opt.camera.ndc:
             assert intr is not None, "NDC conversion needs per-image intrinsics"
             center, ray = rays.convert_NDC(center, ray, intr)
+        noise_active = bool(mode == "train"
+                            and opt.nerf.get("density_noise_reg"))
         if (self._use_fused_field() == "pe" and not opt.nerf.fine_sampling
+                and not noise_active
                 and (opt.get("tpu") or {}).get("fused_raymarch", False)):
             # fully fused ray-march: PE + MLP + alpha compositing in one
             # kernel on the fused_pe layout (round-2 rework of the round-1

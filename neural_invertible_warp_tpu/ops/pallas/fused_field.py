@@ -421,7 +421,10 @@ def supports(arch, opt_nerf):
                 and arch.posenc and arch.posenc.L_3D == 10
                 and arch.posenc.L_view == 4
                 and arch.get("density_activ", "softplus") == "softplus"
-                and opt_nerf.view_dep
-                and not opt_nerf.get("density_noise_reg"))
+                and opt_nerf.view_dep)
+        # NB density_noise_reg is deliberately NOT checked here: the noise is
+        # train-only, and models/system.py routes noise-active TRAIN calls to
+        # the jnp path per-call (pre-activation noise can't be applied outside
+        # the kernel) while eval keeps the fused kernels.
     except Exception:
         return False

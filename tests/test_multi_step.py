@@ -9,7 +9,7 @@ from neural_invertible_warp_tpu import config
 from neural_invertible_warp_tpu.models import get_system_class
 
 
-def _tiny_system():
+def _tiny_system(extra_args=()):
     opt = config.load_options("options/nerf_blender.yaml")
     over = config.parse_arguments([
         "--model=nerf", "--yaml=nerf_blender",
@@ -21,7 +21,7 @@ def _tiny_system():
         "--nerf.sample_intvs=8",
         "--nerf.rand_rays=72",
         "--max_iter=100",
-    ])
+    ] + list(extra_args))
     opt = config.override_options(opt, over, key_stack=[], safe_check=True)
     opt.H, opt.W = 12, 12
     system = get_system_class("nerf")(opt)
@@ -57,6 +57,31 @@ def test_multi_step_matches_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
     assert int(state2["step"]) == n
+
+
+def test_density_noise_reg_falls_back_from_fused_kernels():
+    """density_noise_reg adds pre-activation noise (reference
+    model/nerf.py:430-433), which the fused kernels cannot express — the
+    routing in system.py must take the jnp path whenever noise is active.
+    Forcing the fused-field flag on CPU proves the gate: had any fused
+    branch been taken, the pallas call would fail off-TPU (and before the
+    gate existed, render_rays/apply_field_samples silently DROPPED the
+    noise)."""
+    key = jax.random.PRNGKey(0)
+
+    def one_step(fused_flag, reg):
+        sysm = _tiny_system([f"--nerf.density_noise_reg={reg}"])
+        sysm._fused_field = fused_flag   # pretend kernels are available
+        state = sysm.init_state(jax.random.PRNGKey(0))
+        state, m = sysm.train_step(state, jax.random.fold_in(key, 0))
+        return float(m["loss_all"])
+
+    loss_forced = one_step("pe", 0.1)
+    loss_plain = one_step("off", 0.1)
+    # identical: both must have run the very same jnp path w/ the same keys
+    np.testing.assert_allclose(loss_forced, loss_plain, rtol=0, atol=0)
+    # and the noise must actually be applied (reg=0 gives a different loss)
+    assert one_step("off", 0.0) != loss_plain
 
 
 def test_fine_sampling_trains_and_renders():
