@@ -228,7 +228,9 @@ class NerfSystem:
                         else None,
                         setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
                         bgcolor=opt.data.get("bgcolor"),
-                        compute_dtype=self._kernel_compute_dtype())
+                        compute_dtype=self._kernel_compute_dtype(),
+                        density_activ=self.arch.get("density_activ",
+                                                    "softplus"))
                     out["render_sq_sum"] = sq
                     out["render_n"] = n_terms
                     return out
@@ -239,7 +241,9 @@ class NerfSystem:
                     else None,
                     setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
                     bgcolor=opt.data.get("bgcolor"),
-                    compute_dtype=self._kernel_compute_dtype())
+                    compute_dtype=self._kernel_compute_dtype(),
+                    density_activ=self.arch.get("density_activ",
+                                                "softplus"))
                 return dict(rgb=rgb, depth=d, opacity=opac)
         common = dict(
             view_dep=opt.nerf.view_dep,

@@ -129,8 +129,11 @@ def _dot_nt_pe(a, b):
                                precision=_PE_PRECISION)
 
 
-def _forward_block(xp, view, w, keep=False, cdt=jnp.float32):
-    """Shared forward math on one block. Returns (out, cache-or-None)."""
+def _forward_block(xp, view, w, keep=False, cdt=jnp.float32,
+                   activ="softplus"):
+    """Shared forward math on one block. Returns (out, cache-or-None).
+    activ: static density activation, "softplus" (flagship configs) or
+    "relu" (NeRF-paper *_repr configs)."""
     hs = []
     h = jax.nn.relu(_dot(xp, w["W0"], cdt) + w["b0"])
     hs.append(h)
@@ -150,20 +153,22 @@ def _forward_block(xp, view, w, keep=False, cdt=jnp.float32):
     r0 = jax.nn.relu(_dot(v, w["Wr0"], cdt) + w["br0"])
     rgb_pre = _dot(r0, w["Wr1"], cdt) + w["br1"]              # [BLK, 128]
     rgb = jax.nn.sigmoid(rgb_pre[:, :3])
-    density = jax.nn.softplus(density_pre)
+    density = (jax.nn.softplus(density_pre) if activ == "softplus"
+               else jax.nn.relu(density_pre))
     out = jnp.concatenate([rgb, density[:, None]], axis=-1)   # [BLK, 4]
     cache = (hs, c4, t, feat, v, r0, rgb_pre) if keep else None
     return out, cache
 
 
-def _fwd_kernel(cdt, xp_ref, view_ref, *wrefs):
+def _fwd_kernel(cdt, activ, xp_ref, view_ref, *wrefs):
     out_ref = wrefs[-1]
     w = {name: wrefs[i][:] for i, name in enumerate(_ORDER)}
-    out, _ = _forward_block(xp_ref[:], view_ref[:], w, cdt=cdt)
+    out, _ = _forward_block(xp_ref[:], view_ref[:], w, cdt=cdt, activ=activ)
     out_ref[:] = out
 
 
-def _mlp_backward(xp, view, w, g, accumulate, cdt=jnp.float32, fwd=None):
+def _mlp_backward(xp, view, w, g, accumulate, cdt=jnp.float32, fwd=None,
+                  activ="softplus"):
     """Shared MLP backward on one block.
 
     Args:
@@ -178,7 +183,7 @@ def _mlp_backward(xp, view, w, g, accumulate, cdt=jnp.float32, fwd=None):
     """
     n = xp.shape[0]
     out, cache = fwd if fwd is not None else _forward_block(
-        xp, view, w, keep=True, cdt=cdt)
+        xp, view, w, keep=True, cdt=cdt, activ=activ)
     hs, c4, t, feat, v, r0, rgb_pre = cache
     rgb = out[:, :3]
 
@@ -194,8 +199,9 @@ def _mlp_backward(xp, view, w, g, accumulate, cdt=jnp.float32, fwd=None):
     g_feat = g_v[:, :D_HID]
     dview = g_v[:, D_HID:]
 
-    # density head: softplus' = sigmoid(pre)
-    g_density_pre = g[:, 3] * jax.nn.sigmoid(t[:, 0])
+    # density head: softplus' = sigmoid(pre); relu' = 1[pre > 0]
+    g_density_pre = g[:, 3] * (jax.nn.sigmoid(t[:, 0]) if activ == "softplus"
+                               else (t[:, 0] > 0).astype(jnp.float32))
     g_t = jnp.concatenate([
         g_density_pre[:, None],
         g_feat * (feat > 0),
@@ -228,7 +234,7 @@ def _mlp_backward(xp, view, w, g, accumulate, cdt=jnp.float32, fwd=None):
     return dxp, dview
 
 
-def _bwd_kernel(cdt, xp_ref, view_ref, g_ref, *refs):
+def _bwd_kernel(cdt, activ, xp_ref, view_ref, g_ref, *refs):
     """Recompute forward, backprop; accumulate dW/db across the grid."""
     w = {name: refs[i][:] for i, name in enumerate(_ORDER)}
     n_w = len(_ORDER)
@@ -246,7 +252,7 @@ def _bwd_kernel(cdt, xp_ref, view_ref, g_ref, *refs):
         dw_refs[name][:] += value
 
     dxp, dview = _mlp_backward(xp_ref[:], view_ref[:], w, g_ref[:],
-                               accumulate, cdt=cdt)
+                               accumulate, cdt=cdt, activ=activ)
     dxp_ref[:] = dxp
     dview_ref[:] = dview
 
@@ -266,24 +272,27 @@ def resolve_compute_dtype(compute_dtype):
     return jnp.dtype(compute_dtype or "float32")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_mlp(xp, view, weights, interpret=False, compute_dtype="float32"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_mlp(xp, view, weights, interpret=False, compute_dtype="float32",
+              activ="softplus"):
     """Fused field MLP. xp: [N,64] encoded points; view: [N,32] encoded dirs;
     weights: dict of padded arrays (see module docstring); compute_dtype:
-    static MXU operand dtype for the matmuls (f32 accumulation either way).
-    Returns [N,4] = (rgb sigmoid, density softplus). N must be a BLK multiple."""
-    out, _ = _fused_fwd(xp, view, weights, interpret, compute_dtype)
+    static MXU operand dtype for the matmuls (f32 accumulation either way);
+    activ: static density activation ("softplus"|"relu").
+    Returns [N,4] = (rgb sigmoid, density activ). N must be a BLK multiple."""
+    out, _ = _fused_fwd(xp, view, weights, interpret, compute_dtype, activ)
     return out
 
 
-def _fused_fwd(xp, view, weights, interpret, compute_dtype):
+def _fused_fwd(xp, view, weights, interpret, compute_dtype, activ):
     N = xp.shape[0]
     assert N % BLK == 0, N
     fwd_blk = FWD_BLK if N % FWD_BLK == 0 else BLK
     grid = (N // fwd_blk,)
     w_list = [weights[k] for k in _ORDER]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, resolve_compute_dtype(compute_dtype)),
+        functools.partial(_fwd_kernel, resolve_compute_dtype(compute_dtype),
+                          activ),
         grid=grid,
         in_specs=[_blk_spec(D_IN, fwd_blk), _blk_spec(D_VIEW, fwd_blk)] +
                  [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
@@ -295,7 +304,7 @@ def _fused_fwd(xp, view, weights, interpret, compute_dtype):
     return out, (xp, view, weights)
 
 
-def _fused_bwd(interpret, compute_dtype, res, g):
+def _fused_bwd(interpret, compute_dtype, activ, res, g):
     xp, view, weights = res
     N = xp.shape[0]
     grid = (N // BLK,)
@@ -309,7 +318,8 @@ def _fused_bwd(interpret, compute_dtype, res, g):
                  [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
                   for k in _ORDER])
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, resolve_compute_dtype(compute_dtype)),
+        functools.partial(_bwd_kernel, resolve_compute_dtype(compute_dtype),
+                          activ),
         grid=grid,
         in_specs=[_blk_spec(D_IN), _blk_spec(D_VIEW), _blk_spec(4)] +
                  [_full_spec(_WEIGHT_SHAPES.get(k) or _BIAS_SHAPES[k])
@@ -379,10 +389,11 @@ def fused_apply_nerf_samples(params, arch, center, ray, depth, *,
     """Drop-in for ops.nerf_mlp.apply_nerf_samples using the fused kernel.
 
     Requirements (reference default arch): layers_feat 8x256 skip [4],
-    layers_rgb [*,128,3], posenc L_3D=10/L_view=4, view_dep, softplus density.
+    layers_rgb [*,128,3], posenc L_3D=10/L_view=4, view_dep, softplus or
+    relu density.
     """
     from .. import posenc as posenc_ops
-    assert density_activ == "softplus" and view_dep
+    assert density_activ in ("softplus", "relu") and view_dep
     B, R = center.shape[0], center.shape[1]
     K = depth.shape[2]
     pts = center[..., None, :] + ray[..., None, :] * depth      # [B,R,K,3]
@@ -401,7 +412,7 @@ def fused_apply_nerf_samples(params, arch, center, ray, depth, *,
     xp = jnp.pad(xp, ((0, N_pad - N), (0, D_IN - 63)))
     vi = jnp.pad(vi, ((0, N_pad - N), (0, D_VIEW - 27)))
     out = fused_mlp(xp, vi, pack_weights(params), interpret,
-                    compute_dtype)[:N]
+                    compute_dtype, density_activ)[:N]
     rgb = out[:, :3].reshape(B, R, K, 3)
     density = out[:, 3].reshape(B, R, K)
     if density_noise_reg and noise_key is not None:
@@ -420,7 +431,8 @@ def supports(arch, opt_nerf):
                 and list(arch.skip) == [4]
                 and arch.posenc and arch.posenc.L_3D == 10
                 and arch.posenc.L_view == 4
-                and arch.get("density_activ", "softplus") == "softplus"
+                and arch.get("density_activ", "softplus") in ("softplus",
+                                                              "relu")
                 and opt_nerf.view_dep)
         # NB density_noise_reg is deliberately NOT checked here: the noise is
         # train-only, and models/system.py routes noise-active TRAIN calls to

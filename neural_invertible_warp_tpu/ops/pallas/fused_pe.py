@@ -148,22 +148,22 @@ def _encode_block(center, ray, depth, mid3, ws3, wc3, midv, wsv, wcv,
     return xp, vi, (xp_pre, d3, vF, ru, inv)
 
 
-def _fwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
-                   wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref, Fv_ref,
-                   *wrefs):
+def _fwd_pe_kernel(cdt, activ, center_ref, ray_ref, depth_ref, mid3_ref,
+                   ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref,
+                   Fv_ref, *wrefs):
     out_ref = wrefs[-1]
     w = {name: wrefs[i][:] for i, name in enumerate(ff._ORDER)}
     xp, vi, _ = _encode_block(center_ref[:], ray_ref[:], depth_ref[:],
                               mid3_ref[:], ws3_ref[:], wc3_ref[:],
                               midv_ref[:], wsv_ref[:], wcv_ref[:],
                               F3_ref[:], Fv_ref[:])
-    out, _ = ff._forward_block(xp, vi, w, cdt=cdt)
+    out, _ = ff._forward_block(xp, vi, w, cdt=cdt, activ=activ)
     out_ref[:] = out
 
 
-def _bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
-                   wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref, Fv_ref,
-                   g_ref, *refs):
+def _bwd_pe_kernel(cdt, activ, center_ref, ray_ref, depth_ref, mid3_ref,
+                   ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref,
+                   Fv_ref, g_ref, *refs):
     w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
     n_w = len(ff._ORDER)
     dcenter_ref, dray_ref = refs[n_w], refs[n_w + 1]
@@ -197,7 +197,7 @@ def _bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref, ws3_ref,
     for s0 in range(0, n, sub):
         dxp_s, dview_s = ff._mlp_backward(xp[s0:s0 + sub], vi[s0:s0 + sub],
                                           w, g[s0:s0 + sub], accumulate,
-                                          cdt=cdt)
+                                          cdt=cdt, activ=activ)
         dxp_parts.append(dxp_s)
         dview_parts.append(dview_s)
     dxp = jnp.concatenate(dxp_parts, axis=0)
@@ -236,9 +236,9 @@ def _w_specs():
             for k in ff._ORDER]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 7))
 def fused_mlp_pe(center, ray, depth, interpret, compute_dtype, masks,
-                 weights):
+                 weights, activ="softplus"):
     """Fused PE + field MLP.
 
     center/ray: [R,3]; depth: [R,K]; masks: (ws3 [1,64], wc3 [1,64],
@@ -247,12 +247,12 @@ def fused_mlp_pe(center, ray, depth, interpret, compute_dtype, masks,
     index = r*K + k. R must be a multiple of the ray block.
     """
     out, _ = _fused_pe_fwd(center, ray, depth, interpret, compute_dtype,
-                           masks, weights)
+                           masks, weights, activ)
     return out
 
 
 def _fused_pe_fwd(center, ray, depth, interpret, compute_dtype, masks,
-                  weights):
+                  weights, activ="softplus"):
     R, K = depth.shape
     assert R % R_BLK == 0, (R, R_BLK)
     grid = (R // R_BLK,)
@@ -260,7 +260,7 @@ def _fused_pe_fwd(center, ray, depth, interpret, compute_dtype, masks,
     w_list = [weights[k] for k in ff._ORDER]
     out = pl.pallas_call(
         functools.partial(_fwd_pe_kernel,
-                          ff.resolve_compute_dtype(compute_dtype)),
+                          ff.resolve_compute_dtype(compute_dtype), activ),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -278,7 +278,7 @@ def _fused_pe_fwd(center, ray, depth, interpret, compute_dtype, masks,
     return out, (center, ray, depth, masks, weights)
 
 
-def _fused_pe_bwd(interpret, compute_dtype, res, g):
+def _fused_pe_bwd(interpret, compute_dtype, activ, res, g):
     center, ray, depth, masks, weights = res
     R, K = depth.shape
     grid = (R // R_BLK,)
@@ -292,7 +292,7 @@ def _fused_pe_bwd(interpret, compute_dtype, res, g):
     out_specs = ([_ray_spec(3, R_BLK), _ray_spec(3, R_BLK)] + _w_specs())
     outs = pl.pallas_call(
         functools.partial(_bwd_pe_kernel,
-                          ff.resolve_compute_dtype(compute_dtype)),
+                          ff.resolve_compute_dtype(compute_dtype), activ),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -330,7 +330,7 @@ def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
     Requirements: the fused_field arch contract plus a sample count K that
     is a multiple of 8 (lane-tiled reshapes); the paper config uses K=128.
     """
-    assert density_activ == "softplus" and view_dep
+    assert density_activ in ("softplus", "relu") and view_dep
     if density_noise_reg:
         raise NotImplementedError("density_noise_reg with fused PE kernel")
     B, R_img = center.shape[0], center.shape[1]
@@ -352,7 +352,7 @@ def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
     out = fused_mlp_pe(c, r, d, interpret, compute_dtype, masks,
-                       ff.pack_weights(params))
+                       ff.pack_weights(params), density_activ)
     out = out[:n_rays * K]
     rgb = out[:, :3].reshape(B, R_img, K, 3)
     density = out[:, 3].reshape(B, R_img, K)
@@ -375,7 +375,7 @@ def fused_apply_nerf_samples_pe_soa(params, arch, center, ray, depth, *,
     4-way column split) into lane-dense [B,R,K] per-channel arrays; the
     backward re-assembles the [N,4] cotangent in one fused write.
     """
-    assert density_activ == "softplus" and view_dep
+    assert density_activ in ("softplus", "relu") and view_dep
     if density_noise_reg:
         raise NotImplementedError("density_noise_reg with fused PE kernel")
     B, R_img = center.shape[0], center.shape[1]
@@ -395,7 +395,7 @@ def fused_apply_nerf_samples_pe_soa(params, arch, center, ray, depth, *,
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
     out = fused_mlp_pe(c, r, d, interpret, compute_dtype, masks,
-                       ff.pack_weights(params))
+                       ff.pack_weights(params), density_activ)
     out = out[:n_rays * K]
     chans = tuple(out[:, ch].reshape(B, R_img, K) for ch in range(3))
     density = out[:, 3].reshape(B, R_img, K)
@@ -494,8 +494,8 @@ def _prefix_blockdiag_t(L, g, rays_blk, K):
         axis=0)
 
 
-def _rm_fwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
-                      ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
+def _rm_fwd_pe_kernel(cdt, activ, center_ref, ray_ref, depth_ref,
+                      mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
                       F3_ref, Fv_ref, L_ref, I_ref, *wrefs):
     out_ref = wrefs[-1]
     w = {name: wrefs[i][:] for i, name in enumerate(ff._ORDER)}
@@ -504,7 +504,7 @@ def _rm_fwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
                               mid3_ref[:], ws3_ref[:], wc3_ref[:],
                               midv_ref[:], wsv_ref[:], wcv_ref[:],
                               F3_ref[:], Fv_ref[:])
-    out4, _ = ff._forward_block(xp, vi, w, cdt=cdt)
+    out4, _ = ff._forward_block(xp, vi, w, cdt=cdt, activ=activ)
     rgb = out4[:, :3]
     sigma = out4[:, 3:4]
     R, K = depth.shape
@@ -523,8 +523,8 @@ def _rm_fwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
     out_ref[:] = _per_ray_sums(contrib, R, K)                  # [R,8]
 
 
-def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
-                      ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
+def _rm_bwd_pe_kernel(cdt, activ, center_ref, ray_ref, depth_ref,
+                      mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
                       F3_ref, Fv_ref, L_ref, I_ref, g_ref, *refs):
     w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
     n_w = len(ff._ORDER)
@@ -570,7 +570,8 @@ def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
     dxp_parts, dview_parts, gdist_parts = [], [], []
     for s0 in range(0, n, sub):
         sl = slice(s0, s0 + sub)
-        fwd = ff._forward_block(xp[sl], vi[sl], w, keep=True, cdt=cdt)
+        fwd = ff._forward_block(xp[sl], vi[sl], w, keep=True, cdt=cdt,
+                                activ=activ)
         out4 = fwd[0]
         rgb = out4[:, :3]
         sigma = out4[:, 3:4]
@@ -595,7 +596,7 @@ def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
         g4 = jnp.concatenate([g_rgb, g_s * dist[sl]], axis=-1)  # [sub,4]
 
         dxp_s, dview_s = ff._mlp_backward(xp[sl], vi[sl], w, g4, accumulate,
-                                          cdt=cdt, fwd=fwd)
+                                          cdt=cdt, fwd=fwd, activ=activ)
         dxp_parts.append(dxp_s)
         dview_parts.append(dview_s)
     # quadrature chain, in-kernel: dist = intv * ||ray||, so
@@ -622,9 +623,9 @@ def _rm_bwd_pe_kernel(cdt, center_ref, ray_ref, depth_ref, mid3_ref,
     dray_ref[:] = dray + dray_quad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 7))
 def fused_mlp_pe_rm(center, ray, depth, interpret, compute_dtype, masks,
-                    weights):
+                    weights, activ="softplus"):
     """Fused PE + field MLP + alpha compositing, per-RAY outputs.
 
     center/ray: [R,3]; depth: [R,K] sorted ascending (pts construction +
@@ -633,7 +634,7 @@ def fused_mlp_pe_rm(center, ray, depth, interpret, compute_dtype, masks,
     ||ray|| quadrature chain is differentiated in-kernel into dray.
     """
     out, _ = _fused_pe_rm_fwd(center, ray, depth, interpret, compute_dtype,
-                              masks, weights)
+                              masks, weights, activ)
     return out
 
 
@@ -643,7 +644,7 @@ def _rm_consts(K):
 
 
 def _fused_pe_rm_fwd(center, ray, depth, interpret, compute_dtype, masks,
-                     weights):
+                     weights, activ="softplus"):
     R, K = depth.shape
     assert R % R_BLK == 0, (R, R_BLK)
     grid = (R // R_BLK,)
@@ -652,7 +653,7 @@ def _fused_pe_rm_fwd(center, ray, depth, interpret, compute_dtype, masks,
     L, I = _rm_consts(K)
     out = pl.pallas_call(
         functools.partial(_rm_fwd_pe_kernel,
-                          ff.resolve_compute_dtype(compute_dtype)),
+                          ff.resolve_compute_dtype(compute_dtype), activ),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -669,7 +670,7 @@ def _fused_pe_rm_fwd(center, ray, depth, interpret, compute_dtype, masks,
     return out, (center, ray, depth, masks, weights)
 
 
-def _fused_pe_rm_bwd(interpret, compute_dtype, res, g):
+def _fused_pe_rm_bwd(interpret, compute_dtype, activ, res, g):
     center, ray, depth, masks, weights = res
     R, K = depth.shape
     grid = (R // R_BLK,)
@@ -684,7 +685,7 @@ def _fused_pe_rm_bwd(interpret, compute_dtype, res, g):
     out_specs = ([_ray_spec(3, R_BLK), _ray_spec(3, R_BLK)] + _w_specs())
     outs = pl.pallas_call(
         functools.partial(_rm_bwd_pe_kernel,
-                          ff.resolve_compute_dtype(compute_dtype)),
+                          ff.resolve_compute_dtype(compute_dtype), activ),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -747,7 +748,7 @@ def _shard_spec(n_trailing):
 def fused_render_rays_pe(params, arch, center, ray, depth, *,
                          progress=None, barf_c2f=None, setbg_opaque=False,
                          bgcolor=None, interpret=False,
-                         compute_dtype="float32"):
+                         compute_dtype="float32", density_activ="softplus"):
     """Drop-in for the sample->field->composite core (no fine sampling).
 
     center/ray: [B,R,3]; depth: [B,R,K,1] sorted ascending.
@@ -778,14 +779,15 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
         rep = jax.tree_util.tree_map(lambda _: P(), (masks, weights))
         out = shard_map(
             lambda cc, rr, dd, mm, ww: fused_mlp_pe_rm(
-                cc, rr, dd, interpret, compute_dtype, mm, ww),
+                cc, rr, dd, interpret, compute_dtype, mm, ww,
+                density_activ),
             mesh=mesh,
             in_specs=(rowspec, rowspec, rowspec, rep[0], rep[1]),
             out_specs=rowspec, check_rep=False,
         )(c, r, d, masks, weights)[:n_rays]
     else:
         out = fused_mlp_pe_rm(c, r, d, interpret, compute_dtype,
-                              masks, weights)[:n_rays]
+                              masks, weights, density_activ)[:n_rays]
     rgb = out[:, :3].reshape(B, R_img, 3)
     depth_out = out[:, 3:4].reshape(B, R_img, 1)
     opacity = out[:, 4:5].reshape(B, R_img, 1)
@@ -810,9 +812,10 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
 # ---------------------------------------------------------------------------
 
 
-def _rm_train_pe_kernel(cdt, bg, center_ref, ray_ref, depth_ref, mid3_ref,
-                        ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
-                        F3_ref, Fv_ref, L_ref, I_ref, tgt_ref, *refs):
+def _rm_train_pe_kernel(cdt, bg, activ, center_ref, ray_ref, depth_ref,
+                        mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref,
+                        wcv_ref, F3_ref, Fv_ref, L_ref, I_ref, tgt_ref,
+                        *refs):
     w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
     n_w = len(ff._ORDER)
     out_ref = refs[n_w]
@@ -854,7 +857,8 @@ def _rm_train_pe_kernel(cdt, bg, center_ref, ray_ref, depth_ref, mid3_ref,
     for s0 in range(0, n, sub):
         sl = slice(s0, s0 + sub)
         rs = s0 // K
-        fwd = ff._forward_block(xp[sl], vi[sl], w, keep=True, cdt=cdt)
+        fwd = ff._forward_block(xp[sl], vi[sl], w, keep=True, cdt=cdt,
+                                activ=activ)
         out4 = fwd[0]
         rgb = out4[:, :3]
         sigma = out4[:, 3:4]
@@ -904,7 +908,7 @@ def _rm_train_pe_kernel(cdt, bg, center_ref, ray_ref, depth_ref, mid3_ref,
         g4 = jnp.concatenate([g_rgb, g_s * dist[sl]], axis=-1)  # [sub,4]
 
         dxp_s, dview_s = ff._mlp_backward(xp[sl], vi[sl], w, g4, accumulate,
-                                          cdt=cdt, fwd=fwd)
+                                          cdt=cdt, fwd=fwd, activ=activ)
         dxp_parts.append(dxp_s)
         dview_parts.append(dview_s)
 
@@ -932,9 +936,10 @@ def _rm_train_pe_kernel(cdt, bg, center_ref, ray_ref, depth_ref, mid3_ref,
     dray_ref[:] = dray + dray_quad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 9))
 def fused_mlp_pe_rm_train(center, ray, depth, target8, interpret,
-                          compute_dtype, bg, masks, weights):
+                          compute_dtype, bg, masks, weights,
+                          activ="softplus"):
     """One-call training render: returns (sq_sum, out [R,8]).
 
     sq_sum = sum over valid rays of |rgb_final - target|^2 (unnormalized) —
@@ -946,12 +951,13 @@ def fused_mlp_pe_rm_train(center, ray, depth, target8, interpret,
     """
     (sq, out), _ = _fused_pe_rm_train_fwd(center, ray, depth, target8,
                                           interpret, compute_dtype, bg,
-                                          masks, weights)
+                                          masks, weights, activ)
     return sq, out
 
 
 def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
-                           compute_dtype, bg, masks, weights):
+                           compute_dtype, bg, masks, weights,
+                           activ="softplus"):
     R, K = depth.shape
     assert R % R_BLK == 0, (R, R_BLK)
     grid = (R // R_BLK,)
@@ -968,7 +974,8 @@ def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
                   _ray_spec(3, R_BLK)] + _w_specs())
     outs = pl.pallas_call(
         functools.partial(_rm_train_pe_kernel,
-                          ff.resolve_compute_dtype(compute_dtype), bg),
+                          ff.resolve_compute_dtype(compute_dtype), bg,
+                          activ),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -994,7 +1001,7 @@ def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
     return (sq, out), (dcenter, dray, dw, depth, target8, masks)
 
 
-def _fused_pe_rm_train_bwd(interpret, compute_dtype, bg, res, g):
+def _fused_pe_rm_train_bwd(interpret, compute_dtype, bg, activ, res, g):
     g_sq, _g_out = g   # out is metrics-only; the wrapper stop-gradients it
     dcenter, dray, dw, depth, target8, masks = res
     zero_masks = tuple(jnp.zeros_like(m) for m in masks)
@@ -1009,7 +1016,8 @@ fused_mlp_pe_rm_train.defvjp(_fused_pe_rm_train_fwd, _fused_pe_rm_train_bwd)
 def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
                                progress=None, barf_c2f=None,
                                setbg_opaque=False, bgcolor=None,
-                               interpret=False, compute_dtype="float32"):
+                               interpret=False, compute_dtype="float32",
+                               density_activ="softplus"):
     """Training-only fused render+MSE (no fine sampling).
 
     center/ray: [B,R,3]; depth: [B,R,K,1] sorted ascending; target [B,R,3].
@@ -1052,7 +1060,8 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
 
         def _local(cc, rr, dd, tt, mm, ww):
             sq_l, out_l = fused_mlp_pe_rm_train(
-                cc, rr, dd, tt, interpret, compute_dtype, bg, mm, ww)
+                cc, rr, dd, tt, interpret, compute_dtype, bg, mm, ww,
+                density_activ)
             return jax.lax.psum(sq_l, RAY_AXIS), out_l
 
         sq, out = shard_map(
@@ -1062,7 +1071,8 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
         )(c, r, d, t8, masks, weights)
     else:
         sq, out = fused_mlp_pe_rm_train(
-            c, r, d, t8, interpret, compute_dtype, bg, masks, weights)
+            c, r, d, t8, interpret, compute_dtype, bg, masks, weights,
+            density_activ)
     out = jax.lax.stop_gradient(out)[:n_rays]
     rgb = out[:, :3].reshape(B, R_img, 3)
     depth_out = out[:, 3:4].reshape(B, R_img, 1)

@@ -32,16 +32,18 @@ def setup():
     return params, center, ray, depth
 
 
-def _reference(params, center, ray, depth, progress=None, c2f=None):
+def _reference(params, center, ray, depth, progress=None, c2f=None,
+               activ="softplus"):
     return nerf_mlp.apply_nerf_samples(
         params, ARCH, center, ray, depth, view_dep=True,
-        density_activ="softplus", progress=progress, barf_c2f=c2f)
+        density_activ=activ, progress=progress, barf_c2f=c2f)
 
 
-def _fused(params, center, ray, depth, progress=None, c2f=None):
+def _fused(params, center, ray, depth, progress=None, c2f=None,
+           activ="softplus"):
     return fused_field.fused_apply_nerf_samples(
         params, ARCH, center, ray, depth, view_dep=True,
-        density_activ="softplus", progress=progress, barf_c2f=c2f,
+        density_activ=activ, progress=progress, barf_c2f=c2f,
         interpret=True)
 
 
@@ -159,3 +161,32 @@ def test_bfloat16_compute_dtype(setup):
     # cosine similarity of the full gradient vector
     cos = float(np.dot(f16, f32) / (np.linalg.norm(f16) * denom + 1e-30))
     assert cos > 0.99, cos
+
+
+def test_relu_density_parity(setup):
+    """relu density (NeRF-paper *_repr configs): forward + gradient parity
+    through the static activ switch in _forward_block/_mlp_backward."""
+    params, center, ray, depth = setup
+    rgb_ref, dens_ref = _reference(params, center, ray, depth, activ="relu")
+    rgb_f, dens_f = _fused(params, center, ray, depth, activ="relu")
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dens_f), np.asarray(dens_ref),
+                               atol=2e-4, rtol=1e-4)
+    assert float(jnp.min(dens_f)) == 0.0   # relu actually applied
+
+    rng = np.random.RandomState(2)
+    t_rgb = jnp.array(rng.rand(*rgb_ref.shape).astype(np.float32))
+
+    def loss(fn):
+        def f(params, center, ray):
+            rgb, dens = fn(params, center, ray, depth, activ="relu")
+            return jnp.mean((rgb - t_rgb) ** 2) + 1e-3 * jnp.mean(dens)
+        return f
+
+    g_ref = jax.grad(loss(_reference), argnums=(0, 1, 2))(params, center, ray)
+    g_f = jax.grad(loss(_fused), argnums=(0, 1, 2))(params, center, ray)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-6)

@@ -43,10 +43,11 @@ def setup():
     return params, center, ray, depth
 
 
-def _reference(params, center, ray, depth, progress=None, c2f=None):
+def _reference(params, center, ray, depth, progress=None, c2f=None,
+               activ="softplus"):
     return nerf_mlp.apply_nerf_samples(
         params, ARCH, center, ray, depth, view_dep=True,
-        density_activ="softplus", progress=progress, barf_c2f=c2f)
+        density_activ=activ, progress=progress, barf_c2f=c2f)
 
 
 def _fused(params, center, ray, depth, progress=None, c2f=None):
@@ -158,10 +159,11 @@ def test_ray_padding(setup):
 # composited variant (fused_mlp_pe_rm / fused_render_rays_pe)
 # ---------------------------------------------------------------------------
 
-def _composite_reference(params, center, ray, depth, progress=None, c2f=None):
+def _composite_reference(params, center, ray, depth, progress=None,
+                         c2f=None, activ="softplus"):
     from neural_invertible_warp_tpu.ops import render
     rgb_s, dens = _reference(params, center, ray, depth,
-                             progress=progress, c2f=c2f)
+                             progress=progress, c2f=c2f, activ=activ)
     return render.composite(ray, rgb_s, dens, depth)
 
 
@@ -400,3 +402,37 @@ def test_pe_projection_precision_tripwire():
     assert "ff._dot_nt_pe(dxp_pre, F3)" in src
     assert "ff._dot_nt_pe(dvF, Fv)" in src
     assert "ff._dot(pts, F3)" not in src.replace("ff._dot_pe(pts, F3)", "")
+
+
+def test_train_kernel_relu_density_parity(setup):
+    """relu density through the ONE-call train kernel (fwd + in-kernel
+    cotangent + bwd): loss and all gradients vs the jnp chain."""
+    params, center, ray, _ = setup
+    rng = np.random.RandomState(11)
+    B, R, K = center.shape[0], center.shape[1], 128
+    base = np.sort(rng.choice([0.5, 1.0, 2.0, 4.0], (B, R, K)), axis=-1)
+    depth = jnp.asarray(base[..., None].astype(np.float32))
+    target = jnp.asarray(rng.rand(B, R, 3).astype(np.float32))
+
+    def ref(params, center, ray):
+        rgb, d, op, _ = _composite_reference(params, center, ray, depth,
+                                             progress=0.4, c2f=(0.1, 0.5),
+                                             activ="relu")
+        return jnp.mean((rgb - target) ** 2)
+
+    def fused(params, center, ray):
+        _, sq, n = fused_pe.fused_render_rays_pe_train(
+            params, ARCH, center, ray, depth, target, progress=0.4,
+            barf_c2f=(0.1, 0.5), interpret=True, density_activ="relu")
+        return sq / n
+
+    l_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1, 2))(
+        params, center, ray)
+    l_f, g_f = jax.value_and_grad(fused, argnums=(0, 1, 2))(
+        params, center, ray)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    assert float(l_f) != 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-7)
