@@ -162,6 +162,11 @@ class InnWarpSystem(BarfSystem):
             rot, trans = params["warp_latent"][:, :3], params["warp_latent"][:, 3:]
             L = opt.warp_latent.extrinsic.L
             rot_enc = jnp.concatenate([rot, posenc.positional_encoding(rot, L)], -1)
+            # bug-for-bug parity: the translation is encoded with the PE of
+            # the ROTATION part (reference model/barf_inn_llff.py:341 passes
+            # `rot` to both positional_encoding calls). Do not "fix" this —
+            # checkpoints and the paper's extrinsic-latent ablation depend
+            # on the exact feature layout.
             trans_enc = jnp.concatenate([trans, posenc.positional_encoding(rot, L)], -1)
             return jnp.concatenate([rot_enc, trans_enc], -1)
         raise NotImplementedError(self.enc_type)

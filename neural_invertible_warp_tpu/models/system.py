@@ -251,7 +251,10 @@ class NerfSystem:
             progress=progress,
             barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f") else None,
             density_noise_reg=opt.nerf.get("density_noise_reg") if mode == "train" else None,
-            noise_key=k_noise,
+            # coarse and fine draw INDEPENDENT density noise (the reference
+            # calls randn_like fresh per forward_samples call); fold_in keeps
+            # the streams decorrelated without another split at trace time
+            noise_key=jax.random.fold_in(k_noise, 0),
         )
         rgb, d, opac, prob = self._field_composite(
             params["nerf"], center, ray, depth, common)
@@ -262,7 +265,8 @@ class NerfSystem:
                 pdf, opt.nerf.sample_intvs, opt.nerf.sample_intvs_fine, depth_range)
             depth_all = jnp.sort(jnp.concatenate([depth, depth_fine], axis=2), axis=2)
             rgb_f, d_f, opac_f, _ = self._field_composite(
-                params["nerf_fine"], center, ray, depth_all, common)
+                params["nerf_fine"], center, ray, depth_all,
+                dict(common, noise_key=jax.random.fold_in(k_noise, 1)))
             out.update(rgb_fine=rgb_f, depth_fine=d_f, opacity_fine=opac_f)
         return out
 
@@ -321,7 +325,13 @@ class NerfSystem:
     # ------------------------------------------------------------ train step
 
     def _forward_train(self, params, aux, data, ray_idx, key, step):
-        """One training forward pass over the sampled rays; returns (out, target, extras)."""
+        """One training forward pass over the sampled rays; returns (out, target, extras).
+
+        bug-for-bug parity (SURVEY Q7): ONE ray_idx draw is shared by every
+        training image — the reference samples the same pixel indices across
+        all B images each step (model/nerf.py:258, one randperm for the whole
+        batch), not an independent subset per image. Keep it that way.
+        """
         opt = self.opt
         pose = self.get_train_pose(params, aux, data)
         center, ray = rays.get_center_and_ray(pose, data["intr"], H=self.H,

@@ -327,10 +327,14 @@ def align_umeyama(model, data, known_scale=False, yaw_only=False):
         R = _rot_z(theta)
     else:
         R = U @ S @ Vt
-    if known_scale:
+    # Degenerate-trajectory guard (third_party/ATE/align_trajectory.py:59-66,
+    # 80): a collapsed point cloud (all centers equal, e.g. identity-init
+    # poses) has sigma2 ~ 0; the reference forces s=1 there instead of
+    # dividing to inf/NaN. The +1e-6 in the divisor is also the reference's.
+    if known_scale or sigma2 < 1e-5:
         s = 1.0
     else:
-        s = float(np.trace(D @ S) / sigma2)
+        s = float(np.trace(D @ S) / (sigma2 + 1e-6))
     t = mu_M - s * R @ mu_D
     return s, R, t
 

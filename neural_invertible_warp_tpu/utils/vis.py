@@ -128,9 +128,11 @@ def generate_videos_pose(opt, trainer):
     cam_depth = (opt.get("visdom") or {}).get("cam_depth", 0.2)
     for ep in range(0, opt.max_iter + 1, opt.freq.ckpt):
         if ep > 0:
+            backend = (opt.get("ckpt") or {}).get("backend") or "pickle"
             try:
-                trainer.state, _ = ckpt_util.restore_checkpoint(
-                    opt.output_path, trainer.state, resume=ep)
+                trainer.state, _ = ckpt_util.restore(
+                    opt.output_path, trainer.state, resume=ep,
+                    backend=backend)
             except FileNotFoundError:
                 continue
         pose, pose_ref = trainer.system.get_all_training_poses(trainer.state)

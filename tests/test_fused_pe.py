@@ -436,3 +436,116 @@ def test_train_kernel_relu_density_parity(setup):
                     jax.tree_util.tree_leaves(g_f)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-3, atol=5e-7)
+
+
+# ---------------------------------------------------------------------------
+# relu density parity for the remaining kernel entry points (round-4 ADVICE):
+# the train kernel is covered above; these pin the eval composited kernel
+# (fused_render_rays_pe) and the non-composited field kernels (AoS + SoA),
+# forward AND gradients, so the activ threading is test-verified everywhere.
+# ---------------------------------------------------------------------------
+
+def _pow2_depth(B, R, K, seed=13):
+    rng = np.random.RandomState(seed)
+    base = np.sort(rng.choice([0.5, 1.0, 2.0, 4.0], (B, R, K)), axis=-1)
+    return jnp.asarray(base[..., None].astype(np.float32))
+
+
+def test_field_kernel_relu_parity(setup):
+    """fused_apply_nerf_samples_pe, density_activ=relu: forward + grads."""
+    params, center, ray, _ = setup
+    depth = _pow2_depth(center.shape[0], center.shape[1], 128)
+
+    def ref_fn(params, center, ray):
+        rgb, dens = _reference(params, center, ray, depth,
+                               progress=0.4, c2f=(0.1, 0.5), activ="relu")
+        return jnp.mean(rgb ** 2) + 0.01 * jnp.mean(dens)
+
+    def fused_fn(params, center, ray):
+        rgb, dens = fused_pe.fused_apply_nerf_samples_pe(
+            params, ARCH, center, ray, depth, view_dep=True,
+            density_activ="relu", progress=0.4, barf_c2f=(0.1, 0.5),
+            interpret=True)
+        return jnp.mean(rgb ** 2) + 0.01 * jnp.mean(dens)
+
+    l_ref, g_ref = jax.value_and_grad(ref_fn, argnums=(0, 1, 2))(
+        params, center, ray)
+    l_f, g_f = jax.value_and_grad(fused_fn, argnums=(0, 1, 2))(
+        params, center, ray)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-6)
+
+
+def test_field_kernel_soa_relu_parity(setup):
+    """fused_apply_nerf_samples_pe_soa, relu: channels + density + grads."""
+    params, center, ray, _ = setup
+    depth = _pow2_depth(center.shape[0], center.shape[1], 128, seed=17)
+
+    def ref_fn(params, center, ray):
+        rgb, dens = _reference(params, center, ray, depth,
+                               progress=0.4, c2f=(0.1, 0.5), activ="relu")
+        return jnp.mean(rgb ** 2) + 0.01 * jnp.mean(dens)
+
+    def fused_fn(params, center, ray):
+        chans, dens = fused_pe.fused_apply_nerf_samples_pe_soa(
+            params, ARCH, center, ray, depth, view_dep=True,
+            density_activ="relu", progress=0.4, barf_c2f=(0.1, 0.5),
+            interpret=True)
+        rgb = jnp.stack(chans, axis=-1)
+        return jnp.mean(rgb ** 2) + 0.01 * jnp.mean(dens)
+
+    l_ref, g_ref = jax.value_and_grad(ref_fn, argnums=(0, 1, 2))(
+        params, center, ray)
+    l_f, g_f = jax.value_and_grad(fused_fn, argnums=(0, 1, 2))(
+        params, center, ray)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-6)
+
+
+def test_composited_relu_parity(setup):
+    """fused_render_rays_pe (the eval kernel), relu: forward + grads."""
+    params, center, ray, _ = setup
+    depth = _pow2_depth(center.shape[0], center.shape[1], 128, seed=19)
+
+    rgb_r, d_r, op_r, _ = _composite_reference(params, center, ray, depth,
+                                               progress=0.4, c2f=(0.1, 0.5),
+                                               activ="relu")
+    rgb_f, d_f, op_f = fused_pe.fused_render_rays_pe(
+        params, ARCH, center, ray, depth, progress=0.4, barf_c2f=(0.1, 0.5),
+        interpret=True, density_activ="relu")
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_r),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(op_f), np.asarray(op_r),
+                               rtol=1e-3, atol=1e-3)
+
+    def loss_of(fn):
+        def run(params, center, ray):
+            rgb, d, op = fn(params, center, ray)
+            return jnp.mean(rgb ** 2) + 0.1 * jnp.mean(d) + jnp.mean(op)
+        return run
+
+    def ref_fn(params, center, ray):
+        rgb, d, op, _ = _composite_reference(params, center, ray, depth,
+                                             progress=0.4, c2f=(0.1, 0.5),
+                                             activ="relu")
+        return rgb, d, op
+
+    def fused_fn(params, center, ray):
+        return fused_pe.fused_render_rays_pe(
+            params, ARCH, center, ray, depth, progress=0.4,
+            barf_c2f=(0.1, 0.5), interpret=True, density_activ="relu")
+
+    g_ref = jax.grad(loss_of(ref_fn), argnums=(0, 1, 2))(params, center, ray)
+    g_f = jax.grad(loss_of(fused_fn), argnums=(0, 1, 2))(params, center, ray)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-6)
