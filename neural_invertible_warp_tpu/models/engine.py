@@ -99,7 +99,9 @@ class Trainer:
         # dispatch per chunk instead of per step (host dispatch dominates at
         # this model scale)
         spc = max(1, int((opt.get("tpu") or {}).get("steps_per_call") or 1))
-        freqs = [opt.freq.scalar, opt.freq.val, opt.freq.ckpt]
+        freq_vis = opt.freq.get("vis")
+        freqs = [opt.freq.scalar, opt.freq.val, opt.freq.ckpt] \
+            + ([freq_vis] if freq_vis else [])
         it = self.iter_start
         while it < end:
             next_event = min([((it // f) + 1) * f for f in freqs] + [end])
@@ -118,6 +120,8 @@ class Trainer:
                 self.log_scalars(metrics, it)
             if it % opt.freq.val == 0:
                 self.run_validation(it)
+            if freq_vis and it % freq_vis == 0:
+                self.update_live_pose_view(it)
             if it % opt.freq.ckpt == 0:
                 self.save_checkpoint(it)
         elapsed = time.time() - t_start
@@ -178,6 +182,44 @@ class Trainer:
                     tile_images([to_invdepth(v) for v in vis_all], rows, cols),
                     step, dataformats="HWC")
         return res
+
+    def update_live_pose_view(self, step):
+        """Refresh poses.html DURING training every freq.vis iterations.
+
+        The reference's visdom wireframe window updates live while training
+        (util_vis.py:76-157, wired at model/base.py:66-76); here the same
+        role is played by rewriting the offline interactive viewer with the
+        pose trajectory so far — open output_path/poses.html in a browser
+        and reload to scrub through iterations while the run is going.
+        """
+        system = self.system
+        if not hasattr(system, "get_all_training_poses"):
+            return None
+        pose, pose_ref = system.get_all_training_poses(self.state)
+        if pose is None:
+            return None
+        pose = np.asarray(pose)
+        if hasattr(system, "prealign"):
+            try:
+                system.prealign(self.state)
+                if system.sim3 is not None:
+                    import jax.numpy as jnp
+                    from ..ops import align
+                    pose = np.asarray(align.apply_sim3_to_poses(
+                        jnp.asarray(pose), system.sim3, "pred_to_GT"))
+            except Exception as e:  # alignment can fail early in training
+                log.warn("live pose view: prealign skipped ({})".format(e))
+        if not hasattr(self, "_live_pose_frames"):
+            self._live_pose_frames = []
+        self._live_pose_frames.append((int(step), pose))
+        from ..utils.pose_viewer import export_interactive_poses
+        out = os.path.join(self.opt.output_path, "poses.html")
+        cam_depth = (self.opt.get("visdom") or {}).get("cam_depth", 0.2)
+        export_interactive_poses(
+            out, self._live_pose_frames,
+            pose_ref=np.asarray(pose_ref) if pose_ref is not None else None,
+            cam_depth=cam_depth)
+        return out
 
     def save_checkpoint(self, it):
         path = ckpt_util.save(self.opt.output_path, self.state, it,

@@ -361,13 +361,21 @@ def analytic_blob_render(pose_w2c, intr, H, W, blob, n_samples=192,
 
 def make_blob_blender_scene(root, scene="blobs", n_train=100, n_val=4,
                             n_test=4, img_size=128, seed=0, n_blobs=24,
-                            radius=1.2, depth_range=(2.0, 6.0)):
-    """Blender-format scene: cameras on the r=4 sphere, blob ball at origin."""
+                            radius=1.2, depth_range=(2.0, 6.0),
+                            s_range=(0.16, 0.38)):
+    """Blender-format scene: cameras on the r=4 sphere, blob ball at origin.
+
+    A DENSE ball (n_blobs >~ 150, wider s_range) approximates a solid
+    textured object like the NeRF-synthetic scenes — needed for INN-warp
+    recovery probes: the sparse default leaves most of space empty, which
+    is the 'every camera its own region' degenerate gauge of EVIDENCE_r2
+    run B2."""
     from neural_invertible_warp_tpu.data import blender as blender_data
 
     make_blender_scene(root, scene=scene, n_train=n_train, n_val=n_val,
                        n_test=n_test, img_size=img_size, seed=seed)
-    blob = blob_params(seed=seed + 7, n_blobs=n_blobs, radius=radius)
+    blob = blob_params(seed=seed + 7, n_blobs=n_blobs, radius=radius,
+                       s_range=s_range)
     opt = blender_opt(root, H=img_size, W=img_size, scene=scene)
     for split in ("train", "val", "test"):
         ds = blender_data.Dataset(opt, split=split)
