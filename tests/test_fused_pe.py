@@ -316,15 +316,23 @@ def test_train_kernel_outputs_match_fwd_kernel(setup):
                                rtol=1e-6, atol=1e-7)
 
 
-def test_kernels_under_ray_mesh(setup):
+@pytest.mark.parametrize("n_dev,R", [
+    (2, 3),   # 6 rays, divisible across 2 shards
+    (8, 3),   # 6 rays < 8 shards: pad rays must stay inert on every shard
+    (8, 5),   # 10 rays, NOT divisible by 8: uneven pad split
+])
+def test_kernels_under_ray_mesh(setup, n_dev, R):
     """shard_map dispatch (active ray mesh): the rm wrappers must produce
     the same values AND gradients as the unsharded call — GSPMD treats
     pallas_call as opaque, so the wrappers shard the flattened ray axis
-    explicitly and psum the loss / weight cotangents."""
+    explicitly and psum the loss / weight cotangents. Covers n=8 and
+    non-divisible ray counts (VERDICT r3 Next #2c)."""
     from neural_invertible_warp_tpu.parallel import mesh as mesh_lib
     params, center, ray, _ = setup
     rng = np.random.RandomState(13)
-    B, R, K = center.shape[0], center.shape[1], 128
+    B, K = center.shape[0], 128
+    center = jnp.asarray(rng.randn(B, R, 3).astype(np.float32) * 0.2)
+    ray = jnp.asarray(rng.randn(B, R, 3).astype(np.float32))
     base = np.sort(rng.choice([0.5, 1.0, 2.0, 4.0], (B, R, K)), axis=-1)
     depth = jnp.asarray(base[..., None].astype(np.float32))
     target = jnp.asarray(rng.rand(B, R, 3).astype(np.float32))
@@ -341,7 +349,7 @@ def test_kernels_under_ray_mesh(setup):
         params, center, ray)
     (e0, rgb0), ge0 = jax.value_and_grad(eval_probe, argnums=(0, 2),
                                          has_aux=True)(params, center, ray)
-    mesh = mesh_lib.make_mesh(n_devices=2)
+    mesh = mesh_lib.make_mesh(n_devices=n_dev)
     with mesh_lib.use_mesh(mesh):
         l1, g1 = jax.value_and_grad(train_loss, argnums=(0, 1, 2))(
             params, center, ray)
@@ -355,7 +363,10 @@ def test_kernels_under_ray_mesh(setup):
     for a, b in zip(jax.tree_util.tree_leaves((g0, ge0)),
                     jax.tree_util.tree_leaves((g1, ge1))):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-5, atol=1e-8)
+                                   rtol=5e-5, atol=1e-6)
+    # (gradient tolerance absorbs psum reduction-order noise at n=8: the
+    # per-shard partial sums accumulate in a different order than the
+    # unsharded kernel — observed max 1.4e-5 relative on one leaf)
 
 
 def test_train_kernel_padding_does_not_leak(setup):

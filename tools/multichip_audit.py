@@ -1,0 +1,295 @@
+"""Multi-chip evidence within the one-chip constraint (VERDICT r3 Next #2).
+
+Two audits over the FULL flagship model (barf_inn_llff) at the PAPER
+architecture (8x256 trunk, 128-wide rgb head, L=10/4 PE, d_hidden=128 INN,
+128 samples/ray):
+
+* ``--invariance``: chip-count invariance of the training trajectory.
+  Runs the same S steps on n in {1,2,4,8} virtual CPU devices (one
+  subprocess per n so the forced host-device count is clean) and asserts
+  the per-step loss/psnr trajectories agree to reduction-order tolerance.
+  This is the strongest scaling-correctness statement measurable without
+  N real chips: the sharded program computes the SAME optimization
+  trajectory, so chip count only changes wall-clock.
+
+* ``--collectives``: compiles the n-device sharded train step, walks the
+  optimized HLO, and reports per-step collective-communication bytes by op
+  kind (all-reduce / all-gather / reduce-scatter / collective-permute).
+  Makes the ICI cost claim a number: expect ~2 x params bytes of
+  all-reduce (grad psum) + the warped-point all-gather for the SVD fit.
+
+Usage:
+  python tools/multichip_audit.py --invariance [--steps 50] [--devices 1,2,4,8]
+  python tools/multichip_audit.py --collectives [--n 8]
+Results: JSON lines to stdout + /tmp/multichip_audit/results.json.
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+OUT_DIR = "/tmp/multichip_audit"
+SCENE = os.path.join(OUT_DIR, "scene")
+
+
+def _cpu_env(n):
+    """Child env forced to an n-device virtual CPU platform, with the
+    container's axon TPU-relay hooks scrubbed (they override JAX_PLATFORMS
+    via sitecustomize — same scrub as tests/conftest.py)."""
+    env = dict(os.environ)
+    for k in [k for k in env if k.startswith(("PALLAS_AXON", "AXON"))
+              or k == "_AXON_REGISTERED"]:
+        env.pop(k, None)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   env.get("XLA_FLAGS", ""))
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count="
+                        + str(n)).strip()
+    return env
+
+# paper arch, small images (shapes that matter — rays, samples, params,
+# warped point sets — are the real training shapes)
+BASE_ARGS = [
+    "--model=barf_inn_llff", "--yaml=barf_inn_llff",
+    "--data.image_size=[48,64]", "--data.val_ratio=0.25",
+    "--nerf.rand_rays=1024",
+    "--loss_weight.global_alignment=3",
+    "--max_iter=200000",
+    "--freq.scalar=1000000", "--freq.val=1000000", "--freq.ckpt=1000000",
+    "--output_root=/tmp/multichip_audit/out", "--group=audit",
+    "--seed=0",
+]
+
+
+def make_scene():
+    import synth_data
+    if not os.path.isdir(os.path.join(SCENE, "blobfern")):
+        synth_data.make_blob_llff_scene(SCENE, n_images=8,
+                                        img_size=(48, 64), n_blobs=16,
+                                        val_ratio=0.25, backdrop=True,
+                                        spread=0.4)
+    return ["--data.root={}".format(SCENE), "--data.scene=blobfern"]
+
+
+def build_trainer(name, extra=()):
+    import evidence_r2
+    opt = evidence_r2.build("barf_inn_llff",
+                            BASE_ARGS + make_scene() + ["--name=" + name]
+                            + list(extra))
+    return evidence_r2.make_trainer(opt)
+
+
+# ---------------------------------------------------------------- invariance
+
+def child_invariance(n, steps):
+    """Run `steps` training steps on an n-device mesh; print the trajectory."""
+    import numpy as np
+    import jax
+    from neural_invertible_warp_tpu.parallel import mesh as mesh_lib
+
+    assert jax.device_count() >= n, jax.devices()
+    trainer = build_trainer("inv_n{}".format(n))
+    system, state = trainer.system, trainer.state
+    mesh = mesh_lib.make_mesh(n)
+    base_key = jax.random.PRNGKey(0)
+    losses, psnrs = [], []
+    with mesh_lib.use_mesh(mesh):
+        for it in range(steps):
+            state, metrics = system.train_step(
+                state, jax.random.fold_in(base_key, it))
+            losses.append(float(metrics["loss_all"]))
+            psnrs.append(float(metrics["psnr"]))
+    R_err, t_err = system.evaluate_camera_alignment(state)
+    rec = dict(n=n, steps=steps, losses=losses, psnrs=psnrs,
+               final_rot_deg=float(np.rad2deg(np.mean(R_err))),
+               final_trans=float(np.mean(t_err)))
+    print("INVARIANCE_RESULT " + json.dumps(rec), flush=True)
+
+
+def run_invariance(devices, steps):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    make_scene()   # once, shared by all children
+    recs = {}
+    for n in devices:
+        env = _cpu_env(n)
+        print("== n={} ({} steps, paper arch, CPU mesh)".format(n, steps),
+              flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child-n", str(n),
+             "--steps", str(steps)],
+            env=env, cwd=REPO, capture_output=True, text=True)
+        m = re.search(r"INVARIANCE_RESULT (.*)", proc.stdout)
+        if not m:
+            print(proc.stdout[-2000:])
+            print(proc.stderr[-3000:])
+            raise RuntimeError("child n={} failed rc={}".format(
+                n, proc.returncode))
+        recs[n] = json.loads(m.group(1))
+        print("   final: loss {:.6f} psnr {:.3f} rot {:.4f} deg".format(
+            recs[n]["losses"][-1], recs[n]["psnrs"][-1],
+            recs[n]["final_rot_deg"]), flush=True)
+
+    ref = recs[devices[0]]
+    report = dict(kind="invariance", steps=steps, devices=devices,
+                  final={str(n): dict(loss=r["losses"][-1],
+                                      psnr=r["psnrs"][-1],
+                                      rot_deg=r["final_rot_deg"],
+                                      trans=r["final_trans"])
+                         for n, r in recs.items()})
+    max_rel = 0.0
+    for n, r in recs.items():
+        for a, b in zip(ref["losses"], r["losses"]):
+            max_rel = max(max_rel, abs(a - b) / max(abs(a), 1e-12))
+    report["max_rel_loss_dev"] = max_rel
+    rot_spread = max(r["final_rot_deg"] for r in recs.values()) \
+        - min(r["final_rot_deg"] for r in recs.values())
+    report["final_rot_spread_deg"] = rot_spread
+    ok = max_rel < 2e-2 and rot_spread < 0.05
+    report["ok"] = bool(ok)
+    _write(report)
+    print(json.dumps(report))
+    if not ok:
+        raise SystemExit("trajectories diverged beyond reduction-order "
+                         "tolerance: max_rel_loss_dev={:.3e} "
+                         "rot_spread={:.4f}".format(max_rel, rot_spread))
+
+
+# --------------------------------------------------------------- collectives
+
+# result type may be a TUPLE (XLA combines the per-leaf gradient psums into
+# one tuple all-reduce), so capture everything between '=' and the op name
+_COLL_RE = re.compile(
+    r"\S+\s*=\s*((?:\([^)]*\))|\S+)\s+"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute)"
+    r"(?:-start)?\(")
+
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "f64": 8, "s32": 4, "u32": 4,
+                "pred": 1, "s8": 1, "u8": 1, "f8e4m3fn": 1, "f8e5m2": 1}
+
+
+def _shape_bytes(shape_str):
+    """Total bytes of an HLO result shape string (handles tuples)."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(shape_str):
+        if dtype not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def child_collectives(n, fused=True):
+    import jax
+    import numpy as np
+    from neural_invertible_warp_tpu.parallel import mesh as mesh_lib
+
+    assert jax.device_count() >= n, jax.devices()
+    extra = () if fused else ("--tpu.fused_pe!", "--tpu.fused_kernel!")
+    trainer = build_trainer("coll_n{}_f{}".format(n, int(fused)), extra)
+    system, state = trainer.system, trainer.state
+    mesh = mesh_lib.make_mesh(n)
+    with mesh_lib.use_mesh(mesh):
+        step = jax.jit(system.make_train_step())
+        lowered = step.lower(state, system.train_data, jax.random.PRNGKey(0))
+        compiled = lowered.compile()
+        hlo = compiled.as_text()
+    per_kind = {}
+    lines = []
+    for line in hlo.splitlines():
+        m = _COLL_RE.search(line)
+        if not m:
+            continue
+        kind = m.group(2)
+        b = _shape_bytes(m.group(1))
+        per_kind[kind] = per_kind.get(kind, 0) + b
+        lines.append(dict(kind=kind, bytes=b,
+                          shape=m.group(1)[:200]))
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(state["params"]))
+    rec = dict(kind="collectives", n=n, fused=bool(fused),
+               per_kind_bytes=per_kind,
+               total_bytes=sum(per_kind.values()), n_ops=len(lines),
+               ops=lines, n_params=n_params,
+               params_bytes_f32=4 * n_params)
+    print("COLLECTIVES_RESULT " + json.dumps(rec), flush=True)
+
+
+def run_collectives(n, fused=True):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    make_scene()
+    env = _cpu_env(n)
+    cmd = [sys.executable, os.path.abspath(__file__), "--child-coll", str(n)]
+    if not fused:
+        cmd.append("--no-fused")
+    proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                          text=True)
+    m = re.search(r"COLLECTIVES_RESULT (.*)", proc.stdout)
+    if not m:
+        print(proc.stdout[-2000:])
+        print(proc.stderr[-3000:])
+        raise RuntimeError("collectives child failed rc={}".format(
+            proc.returncode))
+    rec = json.loads(m.group(1))
+    _write(rec)
+    # human summary (full op list is in the JSON)
+    print("per-step collective bytes, n={} sharded train step "
+          "(fused kernels {}):".format(n, "ON" if fused else "OFF"))
+    for kind, b in sorted(rec["per_kind_bytes"].items()):
+        print("  {:>20}: {:>12,} bytes".format(kind, b))
+    print("  {:>20}: {:>12,} bytes".format("TOTAL", rec["total_bytes"]))
+    print("  (params: {:,} -> grad psum lower bound {:,} bytes f32)".format(
+        rec["n_params"], rec["params_bytes_f32"]))
+    print(json.dumps({k: rec[k] for k in
+                      ("kind", "n", "per_kind_bytes", "total_bytes",
+                       "n_ops", "n_params")}))
+
+
+def _write(rec):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "results.json"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--invariance", action="store_true")
+    ap.add_argument("--collectives", action="store_true")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--child-n", type=int, help="internal: invariance child")
+    ap.add_argument("--child-coll", type=int,
+                    help="internal: collectives child")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="collectives: audit the GSPMD-partitioned jnp "
+                         "field path instead of the shard_map fused path")
+    args = ap.parse_args()
+    if args.child_n:
+        child_invariance(args.child_n, args.steps)
+    elif args.child_coll:
+        child_collectives(args.child_coll, fused=not args.no_fused)
+    elif args.invariance:
+        run_invariance([int(x) for x in args.devices.split(",")], args.steps)
+    elif args.collectives:
+        run_collectives(args.n, fused=not args.no_fused)
+    else:
+        ap.error("pass --invariance and/or --collectives")
+
+
+if __name__ == "__main__":
+    main()

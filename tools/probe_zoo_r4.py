@@ -70,6 +70,25 @@ def blender_scene():
             "--data.image_size=[128,128]"]
 
 
+def blender_dense_scene():
+    """Content-rich blender scene for the INN-warp recovery probes.
+
+    The sparse 24-blob ball is the degenerate gauge EVIDENCE_r2 run B2
+    diagnosed (empty space lets each view hide in its own region); the
+    reference's barf_blender_inn targets NeRF-synthetic objects that fill
+    the frame with view-consistent content. 160 overlapping blobs
+    approximate that (measured full-frame coverage at 128px)."""
+    import synth_data
+    root = os.path.join(SCENE_ROOT, "blender_dense")
+    if not os.path.isdir(os.path.join(root, "blobs")):
+        synth_data.make_blob_blender_scene(root, n_train=100, n_val=4,
+                                           n_test=4, img_size=128,
+                                           n_blobs=160, radius=1.3,
+                                           s_range=(0.22, 0.45))
+    return ["--data.root={}".format(root), "--data.scene=blobs",
+            "--data.image_size=[128,128]"]
+
+
 def spec(model, yaml, scene, horizon, overrides=(), pose=True, note=""):
     return dict(model=model, yaml=yaml, scene=scene, horizon=horizon,
                 overrides=list(overrides), pose=pose, note=note)
@@ -86,8 +105,10 @@ def build_runs():
     runs = {}
     for tag, horizon in (("20k", 20000), ("200k", 200000)):
         runs["barf_inn_blender_" + tag] = spec(
-            "barf_inn_blender", "barf_blender_inn", "blender", horizon,
-            _inn_over(horizon), note="noisy init sigma=0.15 (yaml default)")
+            "barf_inn_blender", "barf_blender_inn", "blender_dense", horizon,
+            _inn_over(horizon),
+            note="noisy init sigma=0.15 (yaml default); dense scene (the "
+                 "sparse blob ball is the EVIDENCE_r2 B2 degenerate gauge)")
         runs["barf_blender_" + tag] = spec(
             "barf", "barf_blender", "blender", horizon,
             ["--barf_c2f=[0.1,0.5]"], note="noisy init sigma=0.15, BARF c2f")
@@ -152,7 +173,18 @@ def run_one(name):
                horizon=horizon, note=s["note"])
     has_pose = s["pose"] and hasattr(system, "evaluate_camera_alignment")
     if has_pose:
-        R0, te0 = system.evaluate_camera_alignment(state)
+        state0 = state
+        if "global_rigid" in (state["aux"] or {}):
+            # INN models: before the first SVD write, aux["global_rigid"]
+            # holds pose0 so the readout pose0*pose0 double-counts the init
+            # noise; probing with global_rigid=identity makes the readout
+            # exactly the initial poses (tools/evidence_r2.py B2 note).
+            from neural_invertible_warp_tpu.ops import pose as pose_ops
+            aux0 = dict(state["aux"])
+            aux0["global_rigid"] = np.asarray(
+                pose_ops.identity_pose((aux0["global_rigid"].shape[0],)))
+            state0 = dict(state, aux=aux0)
+        R0, te0 = system.evaluate_camera_alignment(state0)
         rec["init_rot_deg"] = round(float(np.rad2deg(np.mean(R0))), 4)
         rec["init_trans"] = round(float(np.mean(te0)), 5)
         print("[{}] initial: rot {:.3f} deg trans {:.4f}".format(

@@ -50,14 +50,19 @@ class _DummyLoader:
         pass
 
 
-def small_flags():
+def small_flags(model="barf_inn_llff"):
     """Reduced matched config (CPU-feasible; mirrored by run_jax.py)."""
-    return [
+    common = [
         "--data.image_size=[120,160]",
-        "--arch.layers_feat=[null,128,128,128,128,128,128]",
-        "--arch.layers_rgb=[null,64,3]",
         "--nerf.sample_intvs=64",
         "--nerf.rand_rays=1024",
+    ]
+    if model.startswith(("garf", "nerf_gaussian")):
+        # gaussian arch is width/depth-parameterized
+        return common + ["--arch.width=128", "--arch.depth=4"]
+    return common + [
+        "--arch.layers_feat=[null,128,128,128,128,128,128]",
+        "--arch.layers_rgb=[null,64,3]",
     ]
 
 
@@ -110,6 +115,13 @@ def main():
                          "CPU-reachable")
     ap.add_argument("--overrides", default="",
                     help="comma-separated extra --k=v overrides")
+    ap.add_argument("--save-ckpt", action="store_true",
+                    help="save the trained reference checkpoint "
+                         "(util.save_checkpoint layout) at the end")
+    ap.add_argument("--dump-eval", default="",
+                    help="npz path: dump pose readout (pose_pred/pose_GT) "
+                         "and a full-image train-mode render of view 0 "
+                         "for checkpoint-interop comparison")
     args = ap.parse_args()
 
     # Scrub TPU-relay env so torch-CPU children never dial the tunnel, and
@@ -130,8 +142,6 @@ def main():
         "--data.root={}".format(args.scene_root),
         "--data.scene={}".format(args.scene),
         "--data.num_workers=2",
-        "--barf_c2f=[0.1,0.5]",
-        "--loss_weight.global_alignment=4",
         "--max_iter={}".format(args.max_iter),  # schedules span this horizon;
                                                 # we run only --iters of it
         "--freq.scalar=1000000000", "--freq.vis=1000000000",
@@ -141,8 +151,14 @@ def main():
         "--seed={}".format(args.seed),
         "--visdom!", "--tb!",
     ]
+    # model-conditional defaults: GARF-family configs have neither barf_c2f
+    # nor a global_alignment weight; SE3-BARF has only the former
+    if "inn" in args.model:
+        flags += ["--barf_c2f=[0.1,0.5]", "--loss_weight.global_alignment=4"]
+    elif args.model.startswith("barf"):
+        flags += ["--barf_c2f=[0.1,0.5]"]
     if args.small:
-        flags += small_flags()
+        flags += small_flags(args.model)
     flags += ["--{}".format(o) for o in args.overrides.split(",") if o]
 
     opt_cmd = ref_options.parse_arguments(flags)
@@ -196,6 +212,55 @@ def main():
             row.update(pose_metrics(m, opt))
             emit(row)
     out.close()
+
+    if args.save_ckpt:
+        m.save_checkpoint(opt, ep=None, it=args.iters, latest=True)
+        print("checkpoint saved:", "{}/model.ckpt".format(opt.output_path),
+              flush=True)
+    if args.dump_eval:
+        dump_eval(m, opt, args.dump_eval, final_iter=args.iters)
+
+
+def dump_eval(m, opt, path, final_iter, view=0, chunk=1024):
+    """Dump the reference's own pose readout + a train-mode full-image
+    render of training view `view` (chunked over rays) for checkpoint
+    interop comparison. The train-mode path is used because the reference's
+    EVAL render of INN models raises on the stale 3-value unpack when
+    barf_c2f is set (SURVEY Q1, model/nerf_inn_llff.py:640-643);
+    render_local (the training path) is unaffected."""
+    import torch
+    from easydict import EasyDict as edict
+    opt.nerf.sample_stratified = False   # deterministic depths for interop
+    var = m.train_data.all
+    H, W = opt.H, opt.W
+    is_inn = hasattr(m.graph, "warp_mlp")
+    with torch.no_grad():
+        pose_pred, pose_GT = m.get_all_training_poses(opt)
+        rows = []
+        for start_idx in range(0, H * W, chunk):
+            v = edict(var)
+            v.ray_idx = torch.arange(start_idx, min(start_idx + chunk, H * W),
+                                     device=opt.device)
+            if is_inn:
+                ray, center = m.graph.get_pose(opt, v, mode="train",
+                                               iter=final_iter)[:2]
+                ret = m.graph.render_local(
+                    opt, ray[view:view + 1], center[view:view + 1],
+                    intr=v.intr[view:view + 1], mode="train")
+            else:
+                pose = m.graph.get_pose(opt, v, mode="train")
+                ret = m.graph.render(opt, pose[view:view + 1],
+                                     intr=v.intr[view:view + 1],
+                                     ray_idx=v.ray_idx, mode="train")
+            rows.append(ret.rgb[0].cpu().numpy())
+        img = np.concatenate(rows, axis=0).reshape(H, W, 3)
+        gt = var.image[view].permute(1, 2, 0).cpu().numpy()
+    np.savez(path, pose_pred=pose_pred.cpu().numpy(),
+             pose_GT=pose_GT.cpu().numpy(), render=img, gt=gt,
+             view=view, final_iter=final_iter)
+    mse = float(((img - gt) ** 2).mean())
+    print("dump_eval: view {} train-mode render PSNR {:.3f} -> {}".format(
+        view, -10 * np.log10(max(mse, 1e-12)), path), flush=True)
 
 
 if __name__ == "__main__":
