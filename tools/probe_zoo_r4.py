@@ -155,7 +155,8 @@ DEFAULT_ORDER = [
 def run_one(name):
     import evidence_r2
     s = RUNS[name]
-    data_over = llff_scene() if s["scene"] == "llff" else blender_scene()
+    data_over = {"llff": llff_scene, "blender": blender_scene,
+                 "blender_dense": blender_dense_scene}[s["scene"]]()
     horizon = s["horizon"]
     opt = evidence_r2.build(s["yaml"], [
         "--model={}".format(s["model"]), "--yaml={}".format(s["yaml"]),

@@ -33,6 +33,7 @@ SCENE_ROOT = "/tmp/refctl/llff_interop"
 
 
 def ensure_scene():
+    sys.path.insert(0, REPO)
     sys.path.insert(0, os.path.join(REPO, "tests"))
     import synth_data
     if not os.path.isdir(os.path.join(SCENE_ROOT, "blobfern")):
