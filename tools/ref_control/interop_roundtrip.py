@@ -117,10 +117,10 @@ def jax_side(model, ckpt_path, dump_path, iters):
     # pose readout parity
     pose_ours, _ = system.get_all_training_poses(state)
     pose_ref = dump["pose_pred"]
-    dR = np.array([
-        np.degrees(np.arccos(np.clip(
-            (np.trace(a[:, :3] @ b[:, :3].T) - 1) / 2, -1, 1)))
-        for a, b in zip(pose_ours, pose_ref)])
+    # element-wise rotation-block delta: the geodesic arccos((tr-1)/2)
+    # metric has a ~0.1 deg resolution FLOOR at zero distance when the
+    # SVD-fit rotations are orthonormal only to ~1e-6 (arccos near 1)
+    dR = np.abs(pose_ours[:, :, :3] - pose_ref[:, :, :3]).max()
     dt = np.abs(pose_ours[:, :, 3] - pose_ref[:, :, 3]).max()
 
     # deterministic train-mode render of the same view
@@ -144,13 +144,14 @@ def jax_side(model, ckpt_path, dump_path, iters):
         return -10 * np.log10(max(mse, 1e-12))
 
     rec = dict(model=model, iters=iters,
-               pose_rot_delta_deg_max=float(dR.max()),
+               pose_rot_elem_delta_max=float(dR),
                pose_trans_delta_max=float(dt),
                psnr_ours_vs_ref=psnr(img, ref_img),
                psnr_ref_vs_gt=psnr(ref_img, gt),
                psnr_ours_vs_gt=psnr(img, gt),
                max_abs_pixel_delta=float(np.abs(img - ref_img).max()))
-    rec["ok"] = bool(rec["pose_rot_delta_deg_max"] < 0.01
+    rec["ok"] = bool(rec["pose_rot_elem_delta_max"] < 1e-5
+                     and rec["pose_trans_delta_max"] < 1e-5
                      and rec["psnr_ours_vs_ref"] > 40.0)
     print(json.dumps(rec, indent=2))
     with open(os.path.join(OUT, model + "_result.json"), "w") as f:
