@@ -114,7 +114,8 @@ def main():
                          "dynamics (band opening at ~0.45*max_iter) become "
                          "CPU-reachable")
     ap.add_argument("--overrides", default="",
-                    help="comma-separated extra --k=v overrides")
+                    help="';'-separated extra k=v overrides (';' so "
+                         "bracketed values like image_size=[128,128] work)")
     ap.add_argument("--save-ckpt", action="store_true",
                     help="save the trained reference checkpoint "
                          "(util.save_checkpoint layout) at the end")
@@ -159,7 +160,8 @@ def main():
         flags += ["--barf_c2f=[0.1,0.5]"]
     if args.small:
         flags += small_flags(args.model)
-    flags += ["--{}".format(o) for o in args.overrides.split(",") if o]
+    flags += ["--{}".format(o)
+              for o in args.overrides.replace(";", "\n").splitlines() if o]
 
     opt_cmd = ref_options.parse_arguments(flags)
     opt = ref_options.set(opt_cmd=opt_cmd)
