@@ -93,15 +93,24 @@ def sample_depth_from_pdf(pdf, num_samples, num_samples_fine, depth_range,
     unif = 0.5 * (grid[:-1] + grid[1:])                             # [Nf]
     unif = jnp.broadcast_to(unif, cdf.shape[:-1] + (num_samples_fine,))
     # searchsorted(right=True): idx = #\{cdf <= u\}; dense compare beats gather loops on TPU
-    idx = jnp.sum(cdf[..., None, :] <= unif[..., :, None], axis=-1)  # [B,R,Nf] in {1..N+1}
-    depth_bin = jnp.linspace(depth_min, depth_max, N + 1, dtype=dtype)
-    depth_bin = jnp.broadcast_to(depth_bin, cdf.shape)               # [B,R,N+1]
+    le = cdf[..., None, :] <= unif[..., :, None]          # [B,R,Nf,N+1]
+    idx = jnp.sum(le, axis=-1)                            # [B,R,Nf] in {1..N+1}
     lo = jnp.clip(idx - 1, 0, None)
     hi = jnp.clip(idx, None, N)
-    depth_low = jnp.take_along_axis(depth_bin, lo, axis=-1)
-    depth_high = jnp.take_along_axis(depth_bin, hi, axis=-1)
-    cdf_low = jnp.take_along_axis(cdf, lo, axis=-1)
-    cdf_high = jnp.take_along_axis(cdf, hi, axis=-1)
+    # bin depths are a linspace -> closed-form indexing, and the bracketing
+    # cdf values come from dense masked reductions. take_along_axis lowers
+    # to a per-element gather on the 128-lane minor axis (measured
+    # 5.2 ms/step of the blender_fine shape's 18.2 ms — the single largest
+    # glue op); the masked max/min passes are VPU-parallel instead.
+    step = (depth_max - depth_min) / N
+    depth_low = depth_min + lo.astype(dtype) * step
+    depth_high = depth_min + hi.astype(dtype) * step
+    cdf_b = cdf[..., None, :]
+    cdf_low = jnp.max(jnp.where(le, cdf_b, -jnp.inf), axis=-1)
+    # first cdf value > u; when none exists (u beyond an unnormalized cdf,
+    # idx clipped to N) fall back to cdf[N] — same as the gathered hi=N
+    gt_min = jnp.min(jnp.where(le, jnp.inf, cdf_b), axis=-1)
+    cdf_high = jnp.where(jnp.isinf(gt_min), cdf[..., -1:], gt_min)
     t = (unif - cdf_low) / (cdf_high - cdf_low + 1e-8)
     depth = depth_low + t * (depth_high - depth_low)
     return depth[..., None]
