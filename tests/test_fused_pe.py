@@ -560,3 +560,69 @@ def test_composited_relu_parity(setup):
                     jax.tree_util.tree_leaves(g_f)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-3, atol=5e-6)
+
+
+def test_fine_sampling_fused_train_kernel_parity():
+    """Round-4: fine-sampling mode routes the FINE network's MSE through the
+    one-call train kernel (the coarse net must stay on the field+XLA path —
+    its per-sample prob drives the CDF resampling). Full render_rays loss +
+    gradients must match the all-jnp path."""
+    from neural_invertible_warp_tpu import config
+    from neural_invertible_warp_tpu.models import get_system_class
+
+    def build(fused):
+        opt = config.load_options("options/nerf_blender_repr.yaml")
+        over = config.parse_arguments([
+            "--model=nerf", "--yaml=nerf_blender_repr",
+            "--data.image_size=[8,8]",
+            "--nerf.sample_intvs=16", "--nerf.sample_intvs_fine=16",
+            "--nerf.rand_rays=8", "--nerf.sample_stratified!",
+        ] + ([] if fused else ["--tpu.fused_kernel!", "--tpu.fused_pe!",
+                               "--tpu.fused_raymarch!", "--tpu.fused_train!"]))
+        opt = config.override_options(opt, over, key_stack=[],
+                                      safe_check=True)
+        opt.H, opt.W = 8, 8
+        rng = np.random.RandomState(0)
+        arrays = dict(
+            image=rng.rand(2, 8, 8, 3).astype(np.float32),
+            intr=np.tile(np.array([[8.0, 0, 4], [0, 8.0, 4], [0, 0, 1]],
+                                  np.float32), (2, 1, 1)),
+            pose=np.tile(np.eye(3, 4, dtype=np.float32), (2, 1, 1)),
+            idx=np.arange(2, dtype=np.int32))
+        system = get_system_class("nerf")(opt)
+        system.attach_data(dict(arrays), dict(arrays))
+        state = system.init_state(jax.random.PRNGKey(0))
+        return system, state
+
+    results = {}
+    for fused in (True, False):
+        system, state = build(fused)
+        data = system.train_data
+        ridx = jnp.arange(4, dtype=jnp.int32)
+        key = jax.random.PRNGKey(1)
+        step = jnp.asarray(100, jnp.int32)
+
+        def loss_fn(params):
+            out, target, extras = system._forward_train(
+                params, state["aux"], data, ridx, key, step)
+            losses = system.compute_loss(params, state["aux"], data, out,
+                                         target, step, extras)
+            return system.summarize_loss(losses), losses
+
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        results[fused] = (float(total),
+                          {k: float(v) for k, v in losses.items()}, grads)
+
+    t_f, l_f, g_f = results[True]
+    t_r, l_r, g_r = results[False]
+    assert "render_fine" in l_f and l_f["render_fine"] > 0
+    np.testing.assert_allclose(t_f, t_r, rtol=2e-4)
+    for k in l_r:
+        np.testing.assert_allclose(l_f[k], l_r[k], rtol=2e-4, err_msg=k)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_r),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-6,
+            err_msg=jax.tree_util.keystr(pa))
