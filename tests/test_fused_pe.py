@@ -562,23 +562,29 @@ def test_composited_relu_parity(setup):
                                    rtol=5e-3, atol=5e-6)
 
 
-def test_fine_sampling_fused_train_kernel_parity():
-    """Round-4: fine-sampling mode routes the FINE network's MSE through the
-    one-call train kernel (the coarse net must stay on the field+XLA path —
-    its per-sample prob drives the CDF resampling). Full render_rays loss +
-    gradients must match the all-jnp path."""
+def test_fine_sampling_fused_train_kernel_parity(monkeypatch):
+    """Round-4: fine-sampling mode routes the FINE network through the
+    fully-fused ray-march kernels — the one-call train kernel in training,
+    the composited per-ray kernel at eval (the coarse net must stay on the
+    field+XLA path: its per-sample prob drives the CDF resampling). Full
+    render_rays loss + gradients (train) and rgb_fine (eval) must match the
+    all-jnp path. The fused path is forced on (interpret mode) — on CPU
+    _use_fused_field() would otherwise gate everything off and the
+    comparison would be vacuous."""
+    import functools
     from neural_invertible_warp_tpu import config
     from neural_invertible_warp_tpu.models import get_system_class
+    from neural_invertible_warp_tpu.models import system as system_mod
+    from neural_invertible_warp_tpu.ops.pallas import fused_pe
 
-    def build(fused):
+    def build():
         opt = config.load_options("options/nerf_blender_repr.yaml")
         over = config.parse_arguments([
             "--model=nerf", "--yaml=nerf_blender_repr",
             "--data.image_size=[8,8]",
             "--nerf.sample_intvs=16", "--nerf.sample_intvs_fine=16",
             "--nerf.rand_rays=8", "--nerf.sample_stratified!",
-        ] + ([] if fused else ["--tpu.fused_kernel!", "--tpu.fused_pe!",
-                               "--tpu.fused_raymarch!", "--tpu.fused_train!"]))
+        ])
         opt = config.override_options(opt, over, key_stack=[],
                                       safe_check=True)
         opt.H, opt.W = 8, 8
@@ -594,9 +600,23 @@ def test_fine_sampling_fused_train_kernel_parity():
         state = system.init_state(jax.random.PRNGKey(0))
         return system, state
 
+    kernel_fns = ("fused_render_rays_pe_train", "fused_render_rays_pe",
+                  "fused_apply_nerf_samples_pe",
+                  "fused_apply_nerf_samples_pe_soa")
+    orig = {n: getattr(fused_pe, n) for n in kernel_fns}
+    orig_use = system_mod.NerfSystem._use_fused_field
+
     results = {}
     for fused in (True, False):
-        system, state = build(fused)
+        for n, f in orig.items():
+            monkeypatch.setattr(
+                fused_pe, n,
+                functools.partial(f, interpret=True) if fused else f)
+        monkeypatch.setattr(
+            system_mod.NerfSystem, "_use_fused_field",
+            (lambda self: "pe") if fused else orig_use)
+        system, state = build()
+        assert system._use_fused_field() == ("pe" if fused else "off")
         data = system.train_data
         ridx = jnp.arange(4, dtype=jnp.int32)
         key = jax.random.PRNGKey(1)
@@ -607,19 +627,31 @@ def test_fine_sampling_fused_train_kernel_parity():
                 params, state["aux"], data, ridx, key, step)
             losses = system.compute_loss(params, state["aux"], data, out,
                                          target, step, extras)
-            return system.summarize_loss(losses), losses
+            return system.summarize_loss(losses), (losses, out)
 
-        (total, losses), grads = jax.value_and_grad(
+        (total, (losses, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])
+        # eval-mode branch: fine net through the composited rm kernel
+        center = jnp.zeros((1, 8, 3), jnp.float32)
+        raydir = jnp.concatenate(
+            [jnp.linspace(-0.2, 0.2, 8)[None, :, None],
+             jnp.full((1, 8, 1), 0.1), jnp.ones((1, 8, 1))], axis=-1)
+        out_eval = system.render_rays(state["params"], center, raydir,
+                                      jax.random.PRNGKey(2), mode="eval",
+                                      progress=0.6)
         results[fused] = (float(total),
-                          {k: float(v) for k, v in losses.items()}, grads)
+                          {k: float(v) for k, v in losses.items()}, grads,
+                          ("render_fine_sq_sum" in out),
+                          np.asarray(out_eval["rgb_fine"]))
 
-    t_f, l_f, g_f = results[True]
-    t_r, l_r, g_r = results[False]
+    t_f, l_f, g_f, used_kernel, rgb_eval_f = results[True]
+    t_r, l_r, g_r, used_ref, rgb_eval_r = results[False]
+    assert used_kernel and not used_ref   # the fused branch actually ran
     assert "render_fine" in l_f and l_f["render_fine"] > 0
     np.testing.assert_allclose(t_f, t_r, rtol=2e-4)
     for k in l_r:
         np.testing.assert_allclose(l_f[k], l_r[k], rtol=2e-4, err_msg=k)
+    np.testing.assert_allclose(rgb_eval_f, rgb_eval_r, rtol=1e-4, atol=1e-6)
     for (pa, a), (pb, b) in zip(
             jax.tree_util.tree_leaves_with_path(g_r),
             jax.tree_util.tree_leaves_with_path(g_f)):
