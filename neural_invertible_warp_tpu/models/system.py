@@ -264,42 +264,39 @@ class NerfSystem:
             depth_fine = sampling.sample_depth_from_pdf(
                 pdf, opt.nerf.sample_intvs, opt.nerf.sample_intvs_fine, depth_range)
             depth_all = jnp.sort(jnp.concatenate([depth, depth_fine], axis=2), axis=2)
-            if (not noise_active and self._use_fused_field() == "pe"
-                    and (opt.get("tpu") or {}).get("fused_raymarch", False)):
+            if (mode == "train" and target is not None and not noise_active
+                    and self._use_fused_field() == "pe"
+                    and (opt.get("tpu") or {}).get("fused_raymarch", False)
+                    and (opt.get("tpu") or {}).get("fused_train", True)):
                 # the FINE network's outputs feed nothing downstream (unlike
                 # the coarse net, whose per-sample prob drives the CDF
-                # resampling above), so it can run the fully-fused ray-march
-                # kernels even in fine-sampling mode: the one-call train
-                # kernel (fwd + in-kernel MSE cotangent + bwd) in training,
-                # the composited per-ray kernel at eval
+                # resampling above), so in TRAINING its render_fine MSE runs
+                # through the one-call fused train kernel (fwd + in-kernel
+                # photometric cotangent + bwd in one pallas call at
+                # K=intvs+intvs_fine). EVAL stays on the SoA field kernel +
+                # XLA compositing: the forward-only composited kernel at
+                # K=192 measured 3.6x SLOWER than the SoA path on-device
+                # (45.0 vs 12.5 ms per 1024-ray render, tools/
+                # check_fine_eval_fused.py, 2026-08-19) — the train kernel
+                # amortizes its start cost over the fused backward, a
+                # forward-only call does not.
                 from ..ops.pallas import fused_pe
-                kern_kw = dict(
-                    progress=progress,
-                    barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f")
-                    else None,
-                    setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
-                    bgcolor=opt.data.get("bgcolor"),
-                    compute_dtype=self._kernel_compute_dtype(),
-                    density_activ=self.arch.get("density_activ", "softplus"))
                 if fused_pe.supports(self.arch, opt.nerf,
                                      sample_intvs=depth_all.shape[2]):
-                    if (mode == "train" and target is not None
-                            and (opt.get("tpu") or {}).get("fused_train",
-                                                           True)):
-                        out_f, sq_f, n_f = fused_pe.fused_render_rays_pe_train(
-                            params["nerf_fine"], self.arch, center, ray,
-                            depth_all, target, **kern_kw)
-                        out.update(rgb_fine=out_f["rgb"],
-                                   depth_fine=out_f["depth"],
-                                   opacity_fine=out_f["opacity"],
-                                   render_fine_sq_sum=sq_f,
-                                   render_fine_n=n_f)
-                        return out
-                    rgb_f, d_f, opac_f = fused_pe.fused_render_rays_pe(
+                    out_f, sq_f, n_f = fused_pe.fused_render_rays_pe_train(
                         params["nerf_fine"], self.arch, center, ray,
-                        depth_all, **kern_kw)
-                    out.update(rgb_fine=rgb_f, depth_fine=d_f,
-                               opacity_fine=opac_f)
+                        depth_all, target, progress=progress,
+                        barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f")
+                        else None,
+                        setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
+                        bgcolor=opt.data.get("bgcolor"),
+                        compute_dtype=self._kernel_compute_dtype(),
+                        density_activ=self.arch.get("density_activ",
+                                                    "softplus"))
+                    out.update(rgb_fine=out_f["rgb"],
+                               depth_fine=out_f["depth"],
+                               opacity_fine=out_f["opacity"],
+                               render_fine_sq_sum=sq_f, render_fine_n=n_f)
                     return out
             rgb_f, d_f, opac_f, _ = self._field_composite(
                 params["nerf_fine"], center, ray, depth_all,

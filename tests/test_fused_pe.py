@@ -563,12 +563,13 @@ def test_composited_relu_parity(setup):
 
 
 def test_fine_sampling_fused_train_kernel_parity(monkeypatch):
-    """Round-4: fine-sampling mode routes the FINE network through the
-    fully-fused ray-march kernels — the one-call train kernel in training,
-    the composited per-ray kernel at eval (the coarse net must stay on the
-    field+XLA path: its per-sample prob drives the CDF resampling). Full
-    render_rays loss + gradients (train) and rgb_fine (eval) must match the
-    all-jnp path. The fused path is forced on (interpret mode) — on CPU
+    """Round-4: fine-sampling TRAIN mode routes the FINE network through the
+    one-call fused train kernel (the coarse net must stay on the field+XLA
+    path: its per-sample prob drives the CDF resampling; EVAL stays on the
+    SoA field kernels — the forward-only composited kernel measured 3.6x
+    slower on-device, see models/system.py). Full render_rays loss +
+    gradients (train) and the SoA rgb_fine (eval) must match the all-jnp
+    path. The fused path is forced on (interpret mode) — on CPU
     _use_fused_field() would otherwise gate everything off and the
     comparison would be vacuous."""
     import functools

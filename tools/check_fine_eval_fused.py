@@ -1,9 +1,18 @@
-"""On-device check of the fine-sampling EVAL fused branch (round 4).
+"""On-device A/B of the fine-sampling EVAL path (round 4).
 
 Renders the same rays through ``NerfSystem.render_rays(mode="eval")`` with
-the fused ray-march kernels on (default) and off (--tpu.fused_raymarch! etc.)
-at the blender_fine shape (64 coarse + 192-sample fine, relu density) and
-reports max|delta| / PSNR-style agreement plus wall-clock per render call.
+the fused kernels on (default) and off (--tpu.fused_raymarch! etc.) at the
+blender_fine shape (64 coarse + 192-sample fine, relu density) and reports
+max|delta| / PSNR-style agreement plus wall-clock per render call.
+
+DECISION 2026-08-19: an experimental eval branch routing the fine net
+through the forward-only composited rm kernel at K=192 measured **45.0 ms
+vs 12.5 ms per 1024-ray render** (3.6x SLOWER than the SoA field kernel +
+XLA compositing) with 55.6 dB agreement (CDF-resample amplification of the
+coarse-path jnp-vs-kernel deltas). The branch was reverted the same day —
+training keeps the one-call train kernel (its start cost amortizes over the
+fused backward; a forward-only call's does not), eval keeps SoA. This tool
+remains as the A/B instrument; it now reports instead of asserting.
 
 Usage: python tools/check_fine_eval_fused.py  (runs on the default platform —
 the real TPU under axon).
@@ -79,8 +88,6 @@ def main():
     psnr = -10 * np.log10(mse) if mse > 0 else float("inf")
     print("rgb_fine max|delta| {:.3e}  agreement {:.1f} dB  "
           "depth_fine max|delta| {:.3e}".format(d_rgb, psnr, d_dep))
-    assert d_rgb < 1e-3 and psnr > 60, "eval fused branch diverges"
-    print("OK")
 
 
 if __name__ == "__main__":
