@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--splits", default="1,2,4")
     ap.add_argument("--rays", type=int, default=2048)
     ap.add_argument("--samples", type=int, default=128)
+    # the scan wrapper's stack costs ~0.7M more scoped VMEM than the real
+    # train program; SUB=512 (the production setting) exceeds the 16M limit
+    # here, so the probe defaults to 256 (r3 sweep: 512 beats 256 by
+    # ~0.64 ms absolute on this kernel family — the serial/pipelined/split
+    # STRUCTURE transfers)
+    ap.add_argument("--mlp-sub", type=int, default=256)
+    ap.add_argument("--r-blk", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -59,6 +66,8 @@ def main():
          jnp.zeros((R, 4), jnp.float32)], axis=1)
     masks = tuple(jax.lax.stop_gradient(m) for m in fp.pe_mask_rows(1.0, None))
     cdt = "float32"
+    fp.set_ray_block(args.r_blk)
+    fp.set_mlp_sub(args.mlp_sub)
 
     def one_link(c_eff, split):
         n = R // split
