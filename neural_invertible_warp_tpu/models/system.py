@@ -108,21 +108,23 @@ class NerfSystem:
 
     def apply_field_samples(self, field_params, center, ray, depth, **kwargs):
         mode = self._use_fused_field()
-        if kwargs.get("density_noise_reg") and kwargs.get("noise_key") is not None:
-            # pre-activation density noise (reference model/nerf.py:430-433)
-            # is not expressible outside the fused kernels, whose density
-            # comes out post-softplus — use the jnp path for exactness
-            mode = "off"
+        noisy = bool(kwargs.get("density_noise_reg")
+                     and kwargs.get("noise_key") is not None)
         if mode == "pe":
             K = depth.shape[2]
             from ..ops.pallas import fused_pe
             if fused_pe.supports(self.arch, self.opt.nerf, sample_intvs=K):
-                kwargs.pop("density_noise_reg", None)
-                kwargs.pop("noise_key", None)
+                # pre-activation density noise (reference model/nerf.py:
+                # 430-433) rides into the kernel as a lane-dense [R,K]
+                # operand (r4) — the wrapper draws the exact jnp-path noise
                 return fused_pe.fused_apply_nerf_samples_pe(
                     field_params, self.arch, center, ray, depth,
                     compute_dtype=self._kernel_compute_dtype(), **kwargs)
             mode = "field"   # e.g. fine-sampling call with an odd K
+        if mode == "field" and noisy:
+            # the MLP-only kernel has no noise operand; its density comes
+            # out post-softplus — use the jnp path for exactness
+            mode = "off"
         if mode == "field":
             from ..ops.pallas import fused_field
             kwargs.pop("density_noise_reg", None)
@@ -204,7 +206,6 @@ class NerfSystem:
         noise_active = bool(mode == "train"
                             and opt.nerf.get("density_noise_reg"))
         if (self._use_fused_field() == "pe" and not opt.nerf.fine_sampling
-                and not noise_active
                 and (opt.get("tpu") or {}).get("fused_raymarch", False)):
             # fully fused ray-march: PE + MLP + alpha compositing in one
             # kernel on the fused_pe layout (round-2 rework of the round-1
@@ -220,7 +221,8 @@ class NerfSystem:
                     # redundant in training (the backward recomputes it),
                     # so fwd + in-kernel photometric cotangent + bwd run as
                     # a single pallas call; compute_loss picks up the
-                    # differentiable sq_sum (fused_pe.py, r3)
+                    # differentiable sq_sum (fused_pe.py, r3). density
+                    # noise rides in as a [R,K] operand (r4)
                     out, sq, n_terms = fused_pe.fused_render_rays_pe_train(
                         params["nerf"], self.arch, center, ray, depth,
                         target, progress=progress,
@@ -230,21 +232,25 @@ class NerfSystem:
                         bgcolor=opt.data.get("bgcolor"),
                         compute_dtype=self._kernel_compute_dtype(),
                         density_activ=self.arch.get("density_activ",
-                                                    "softplus"))
+                                                    "softplus"),
+                        density_noise_reg=(opt.nerf.get("density_noise_reg")
+                                           if noise_active else None),
+                        noise_key=jax.random.fold_in(k_noise, 0))
                     out["render_sq_sum"] = sq
                     out["render_n"] = n_terms
                     return out
-                rgb, d, opac = fused_pe.fused_render_rays_pe(
-                    params["nerf"], self.arch, center, ray, depth,
-                    progress=progress,
-                    barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f")
-                    else None,
-                    setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
-                    bgcolor=opt.data.get("bgcolor"),
-                    compute_dtype=self._kernel_compute_dtype(),
-                    density_activ=self.arch.get("density_activ",
-                                                "softplus"))
-                return dict(rgb=rgb, depth=d, opacity=opac)
+                if not noise_active:   # eval kernel has no noise operand
+                    rgb, d, opac = fused_pe.fused_render_rays_pe(
+                        params["nerf"], self.arch, center, ray, depth,
+                        progress=progress,
+                        barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f")
+                        else None,
+                        setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
+                        bgcolor=opt.data.get("bgcolor"),
+                        compute_dtype=self._kernel_compute_dtype(),
+                        density_activ=self.arch.get("density_activ",
+                                                    "softplus"))
+                    return dict(rgb=rgb, depth=d, opacity=opac)
         common = dict(
             view_dep=opt.nerf.view_dep,
             density_activ=self.arch.get("density_activ", "softplus"),
@@ -264,7 +270,7 @@ class NerfSystem:
             depth_fine = sampling.sample_depth_from_pdf(
                 pdf, opt.nerf.sample_intvs, opt.nerf.sample_intvs_fine, depth_range)
             depth_all = jnp.sort(jnp.concatenate([depth, depth_fine], axis=2), axis=2)
-            if (mode == "train" and target is not None and not noise_active
+            if (mode == "train" and target is not None
                     and self._use_fused_field() == "pe"
                     and (opt.get("tpu") or {}).get("fused_raymarch", False)
                     and (opt.get("tpu") or {}).get("fused_train", True)):
@@ -292,7 +298,10 @@ class NerfSystem:
                         bgcolor=opt.data.get("bgcolor"),
                         compute_dtype=self._kernel_compute_dtype(),
                         density_activ=self.arch.get("density_activ",
-                                                    "softplus"))
+                                                    "softplus"),
+                        density_noise_reg=(opt.nerf.get("density_noise_reg")
+                                           if noise_active else None),
+                        noise_key=jax.random.fold_in(k_noise, 1))
                     out.update(rgb_fine=out_f["rgb"],
                                depth_fine=out_f["depth"],
                                opacity_fine=out_f["opacity"],
@@ -316,16 +325,14 @@ class NerfSystem:
         opt = self.opt
         bg = dict(setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
                   bgcolor=opt.data.get("bgcolor"))
-        if (self._use_fused_field() == "pe"
-                and not common.get("density_noise_reg")):
+        if self._use_fused_field() == "pe":
             from ..ops.pallas import fused_pe
             if fused_pe.supports(self.arch, opt.nerf,
                                  sample_intvs=depth.shape[2]):
-                kw = {k: v for k, v in common.items()
-                      if k not in ("density_noise_reg", "noise_key")}
+                # density_noise_reg rides into the kernel as an operand (r4)
                 chans, dens = fused_pe.fused_apply_nerf_samples_pe_soa(
                     field_params, self.arch, center, ray, depth,
-                    compute_dtype=self._kernel_compute_dtype(), **kw)
+                    compute_dtype=self._kernel_compute_dtype(), **common)
                 return render.composite_soa(ray, chans, dens, depth, **bg)
         rgb_s, dens = self.apply_field_samples(
             field_params, center, ray, depth, **common)

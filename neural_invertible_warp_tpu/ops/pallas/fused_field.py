@@ -130,10 +130,13 @@ def _dot_nt_pe(a, b):
 
 
 def _forward_block(xp, view, w, keep=False, cdt=jnp.float32,
-                   activ="softplus"):
+                   activ="softplus", noise=None):
     """Shared forward math on one block. Returns (out, cache-or-None).
     activ: static density activation, "softplus" (flagship configs) or
-    "relu" (NeRF-paper *_repr configs)."""
+    "relu" (NeRF-paper *_repr configs). noise: optional [BLK] pre-activation
+    density noise (the reference's density_noise_reg randn draw, generated
+    OUTSIDE the kernel in XLA and passed in so forward and the backward
+    recompute see identical values)."""
     hs = []
     h = jax.nn.relu(_dot(xp, w["W0"], cdt) + w["b0"])
     hs.append(h)
@@ -147,7 +150,7 @@ def _forward_block(xp, view, w, keep=False, cdt=jnp.float32,
         h = jax.nn.relu(_dot(h, w["W{}".format(i)], cdt) + w["b{}".format(i)])
         hs.append(h)
     t = _dot(h, w["W7"], cdt) + w["b7"]                       # [BLK, 384]
-    density_pre = t[:, 0]
+    density_pre = t[:, 0] if noise is None else t[:, 0] + noise
     feat = jax.nn.relu(t[:, 1:D_HID + 1])
     v = jnp.concatenate([feat, view], axis=-1)                # [BLK, 288]
     r0 = jax.nn.relu(_dot(v, w["Wr0"], cdt) + w["br0"])
@@ -168,7 +171,7 @@ def _fwd_kernel(cdt, activ, xp_ref, view_ref, *wrefs):
 
 
 def _mlp_backward(xp, view, w, g, accumulate, cdt=jnp.float32, fwd=None,
-                  activ="softplus"):
+                  activ="softplus", noise=None):
     """Shared MLP backward on one block.
 
     Args:
@@ -178,12 +181,15 @@ def _mlp_backward(xp, view, w, g, accumulate, cdt=jnp.float32, fwd=None,
              — callers that already ran the forward for this exact chunk
              (e.g. the composited kernel's per-chunk backward) pass it to
              avoid a duplicate recompute.
+        noise: optional [n] pre-activation density noise — must be the SAME
+             values the forward saw (the activation derivative is evaluated
+             at the noised pre-activation).
     Returns:
         (dxp [n, D_IN], dview [n, D_VIEW])
     """
     n = xp.shape[0]
     out, cache = fwd if fwd is not None else _forward_block(
-        xp, view, w, keep=True, cdt=cdt, activ=activ)
+        xp, view, w, keep=True, cdt=cdt, activ=activ, noise=noise)
     hs, c4, t, feat, v, r0, rgb_pre = cache
     rgb = out[:, :3]
 
@@ -199,9 +205,11 @@ def _mlp_backward(xp, view, w, g, accumulate, cdt=jnp.float32, fwd=None,
     g_feat = g_v[:, :D_HID]
     dview = g_v[:, D_HID:]
 
-    # density head: softplus' = sigmoid(pre); relu' = 1[pre > 0]
-    g_density_pre = g[:, 3] * (jax.nn.sigmoid(t[:, 0]) if activ == "softplus"
-                               else (t[:, 0] > 0).astype(jnp.float32))
+    # density head: softplus' = sigmoid(pre); relu' = 1[pre > 0] — evaluated
+    # at the NOISED pre-activation when density_noise_reg is active
+    pre = t[:, 0] if noise is None else t[:, 0] + noise
+    g_density_pre = g[:, 3] * (jax.nn.sigmoid(pre) if activ == "softplus"
+                               else (pre > 0).astype(jnp.float32))
     g_t = jnp.concatenate([
         g_density_pre[:, None],
         g_feat * (feat > 0),

@@ -148,24 +148,36 @@ def _encode_block(center, ray, depth, mid3, ws3, wc3, midv, wsv, wcv,
     return xp, vi, (xp_pre, d3, vF, ru, inv)
 
 
-def _fwd_pe_kernel(cdt, activ, center_ref, ray_ref, depth_ref, mid3_ref,
-                   ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref,
-                   Fv_ref, *wrefs):
-    out_ref = wrefs[-1]
+def _fwd_pe_kernel(cdt, activ, has_noise, center_ref, ray_ref, depth_ref,
+                   mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
+                   F3_ref, Fv_ref, *wrefs):
+    n_w = len(ff._ORDER)
     w = {name: wrefs[i][:] for i, name in enumerate(ff._ORDER)}
+    out_ref = wrefs[-1]
+    noise_vec = None
+    if has_noise:   # tail: [noise [R,K], I [K,K]] between weights and output
+        noise_ref, I_ref = wrefs[n_w], wrefs[n_w + 1]
+        R = depth_ref.shape[0]
+        noise_vec = _rows_to_cols(I_ref[:], noise_ref[:], R)[:, 0]   # [n]
     xp, vi, _ = _encode_block(center_ref[:], ray_ref[:], depth_ref[:],
                               mid3_ref[:], ws3_ref[:], wc3_ref[:],
                               midv_ref[:], wsv_ref[:], wcv_ref[:],
                               F3_ref[:], Fv_ref[:])
-    out, _ = ff._forward_block(xp, vi, w, cdt=cdt, activ=activ)
+    out, _ = ff._forward_block(xp, vi, w, cdt=cdt, activ=activ,
+                               noise=noise_vec)
     out_ref[:] = out
 
 
-def _bwd_pe_kernel(cdt, activ, center_ref, ray_ref, depth_ref, mid3_ref,
-                   ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref, F3_ref,
-                   Fv_ref, g_ref, *refs):
+def _bwd_pe_kernel(cdt, activ, has_noise, center_ref, ray_ref, depth_ref,
+                   mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref, wcv_ref,
+                   F3_ref, Fv_ref, g_ref, *refs):
     w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
     n_w = len(ff._ORDER)
+    noise_col = None
+    if has_noise:   # tail: [noise [R,K], I [K,K]] between weights and outputs
+        noise_col = _rows_to_cols(refs[n_w + 1][:], refs[n_w][:],
+                                  depth_ref.shape[0])            # [n,1]
+        n_w += 2
     dcenter_ref, dray_ref = refs[n_w], refs[n_w + 1]
     dw_refs = {name: refs[n_w + 2 + i] for i, name in enumerate(ff._ORDER)}
 
@@ -195,9 +207,10 @@ def _bwd_pe_kernel(cdt, activ, center_ref, ray_ref, depth_ref, mid3_ref,
     sub = min(MLP_SUB, n)
     dxp_parts, dview_parts = [], []
     for s0 in range(0, n, sub):
+        noise_s = None if noise_col is None else noise_col[s0:s0 + sub, 0]
         dxp_s, dview_s = ff._mlp_backward(xp[s0:s0 + sub], vi[s0:s0 + sub],
                                           w, g[s0:s0 + sub], accumulate,
-                                          cdt=cdt, activ=activ)
+                                          cdt=cdt, activ=activ, noise=noise_s)
         dxp_parts.append(dxp_s)
         dview_parts.append(dview_s)
     dxp = jnp.concatenate(dxp_parts, axis=0)
@@ -238,52 +251,66 @@ def _w_specs():
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 7))
 def fused_mlp_pe(center, ray, depth, interpret, compute_dtype, masks,
-                 weights, activ="softplus"):
+                 weights, activ="softplus", noise=None):
     """Fused PE + field MLP.
 
     center/ray: [R,3]; depth: [R,K]; masks: (ws3 [1,64], wc3 [1,64],
     wsv [1,32], wcv [1,32]) — non-differentiable; weights: fused_field
-    padded dict. Returns [R*K, 4] (rgb sigmoid, density softplus), sample
-    index = r*K + k. R must be a multiple of the ray block.
+    padded dict. noise: optional [R,K] pre-activation density noise
+    (density_noise_reg * randn, generated in XLA — lane-dense per-ray rows,
+    cast to the [n,1] point column in-kernel via the identity-dot trick).
+    Returns [R*K, 4] (rgb sigmoid, density softplus), sample index = r*K + k.
+    R must be a multiple of the ray block.
     """
     out, _ = _fused_pe_fwd(center, ray, depth, interpret, compute_dtype,
-                           masks, weights, activ)
+                           masks, weights, activ, noise)
     return out
 
 
 def _fused_pe_fwd(center, ray, depth, interpret, compute_dtype, masks,
-                  weights, activ="softplus"):
+                  weights, activ="softplus", noise=None):
     R, K = depth.shape
     assert R % R_BLK == 0, (R, R_BLK)
     grid = (R // R_BLK,)
     ws3, wc3, wsv, wcv = masks
     w_list = [weights[k] for k in ff._ORDER]
+    has_noise = noise is not None
+    extra_specs = ([_ray_spec(K, R_BLK), ff._full_spec((K, K))]
+                   if has_noise else [])
+    extra_args = ((noise, jnp.asarray(np.eye(K, dtype=np.float32)))
+                  if has_noise else ())
     out = pl.pallas_call(
         functools.partial(_fwd_pe_kernel,
-                          ff.resolve_compute_dtype(compute_dtype), activ),
+                          ff.resolve_compute_dtype(compute_dtype), activ,
+                          has_noise),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
                   _row_spec(D_IN), _row_spec(D_IN), _row_spec(D_IN),
                   _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
                   ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW))] +
-                 _w_specs(),
+                 _w_specs() + extra_specs,
         out_specs=pl.BlockSpec((R_BLK * K, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R * K, 4), jnp.float32),
         interpret=interpret,
     )(center, ray, depth, jnp.asarray(_MID3D), ws3, wc3,
       jnp.asarray(_MIDV), wsv, wcv,
-      jnp.asarray(_F3D), jnp.asarray(_FV), *w_list)
-    return out, (center, ray, depth, masks, weights)
+      jnp.asarray(_F3D), jnp.asarray(_FV), *w_list, *extra_args)
+    return out, (center, ray, depth, masks, weights, noise)
 
 
 def _fused_pe_bwd(interpret, compute_dtype, activ, res, g):
-    center, ray, depth, masks, weights = res
+    center, ray, depth, masks, weights, noise = res
     R, K = depth.shape
     grid = (R // R_BLK,)
     ws3, wc3, wsv, wcv = masks
     w_list = [weights[k] for k in ff._ORDER]
+    has_noise = noise is not None
+    extra_specs = ([_ray_spec(K, R_BLK), ff._full_spec((K, K))]
+                   if has_noise else [])
+    extra_args = ((noise, jnp.asarray(np.eye(K, dtype=np.float32)))
+                  if has_noise else ())
     out_shapes = (
         [jax.ShapeDtypeStruct((R, 3), jnp.float32),
          jax.ShapeDtypeStruct((R, 3), jnp.float32)] +
@@ -292,7 +319,8 @@ def _fused_pe_bwd(interpret, compute_dtype, activ, res, g):
     out_specs = ([_ray_spec(3, R_BLK), _ray_spec(3, R_BLK)] + _w_specs())
     outs = pl.pallas_call(
         functools.partial(_bwd_pe_kernel,
-                          ff.resolve_compute_dtype(compute_dtype), activ),
+                          ff.resolve_compute_dtype(compute_dtype), activ,
+                          has_noise),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -300,17 +328,19 @@ def _fused_pe_bwd(interpret, compute_dtype, activ, res, g):
                   _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
                   ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
                   pl.BlockSpec((R_BLK * K, 4), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] + _w_specs(),
+                               memory_space=pltpu.VMEM)] + _w_specs()
+                 + extra_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )(center, ray, depth, jnp.asarray(_MID3D), ws3, wc3,
       jnp.asarray(_MIDV), wsv, wcv,
-      jnp.asarray(_F3D), jnp.asarray(_FV), g, *w_list)
+      jnp.asarray(_F3D), jnp.asarray(_FV), g, *w_list, *extra_args)
     dcenter, dray = outs[0], outs[1]
     dw = {k: outs[2 + i] for i, k in enumerate(ff._ORDER)}
     zero_masks = tuple(jnp.zeros_like(m) for m in masks)
-    return dcenter, dray, jnp.zeros_like(depth), zero_masks, dw
+    d_noise = jnp.zeros_like(noise) if has_noise else None
+    return dcenter, dray, jnp.zeros_like(depth), zero_masks, dw, d_noise
 
 
 fused_mlp_pe.defvjp(_fused_pe_fwd, _fused_pe_bwd)
@@ -329,16 +359,19 @@ def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
 
     Requirements: the fused_field arch contract plus a sample count K that
     is a multiple of 8 (lane-tiled reshapes); the paper config uses K=128.
+    density_noise_reg + noise_key: pre-activation density noise — the draw
+    is jax.random.normal(noise_key, [B,R,K]) * reg, BITWISE the jnp path's
+    (ops/nerf_mlp.py:129-131), generated here in XLA and passed into the
+    kernel as a lane-dense [R,K] operand.
     """
     assert density_activ in ("softplus", "relu") and view_dep
-    if density_noise_reg:
-        raise NotImplementedError("density_noise_reg with fused PE kernel")
     B, R_img = center.shape[0], center.shape[1]
     K = depth.shape[2]
     n_rays = B * R_img
     c = center.reshape(n_rays, 3)
     r = ray.reshape(n_rays, 3)
     d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
+    noise = _make_noise(density_noise_reg, noise_key, (B, R_img, K))
     pad = (-n_rays) % R_BLK
     if pad:
         c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
@@ -348,15 +381,30 @@ def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
             [r, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], r.dtype), (pad, 1))],
             axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, K), d.dtype)], axis=0)
+        if noise is not None:
+            noise = jnp.concatenate(
+                [noise, jnp.zeros((pad, K), noise.dtype)], axis=0)
     masks = tuple(jax.lax.stop_gradient(m)
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
     out = fused_mlp_pe(c, r, d, interpret, compute_dtype, masks,
-                       ff.pack_weights(params), density_activ)
+                       ff.pack_weights(params), density_activ, noise)
     out = out[:n_rays * K]
     rgb = out[:, :3].reshape(B, R_img, K, 3)
     density = out[:, 3].reshape(B, R_img, K)
     return rgb, density
+
+
+def _make_noise(density_noise_reg, noise_key, shape):
+    """The reference's density_noise_reg draw, flattened to per-ray rows.
+
+    Matches ops/nerf_mlp.py:129-131 bitwise: normal(noise_key, [B,R,K]) *
+    reg (row-major reshape to [B*R, K] preserves the draw order)."""
+    if not density_noise_reg or noise_key is None:
+        return None
+    B, R_img, K = shape
+    noise = jax.random.normal(noise_key, (B, R_img, K), jnp.float32)
+    return (noise * density_noise_reg).reshape(B * R_img, K)
 
 
 def fused_apply_nerf_samples_pe_soa(params, arch, center, ray, depth, *,
@@ -376,14 +424,13 @@ def fused_apply_nerf_samples_pe_soa(params, arch, center, ray, depth, *,
     backward re-assembles the [N,4] cotangent in one fused write.
     """
     assert density_activ in ("softplus", "relu") and view_dep
-    if density_noise_reg:
-        raise NotImplementedError("density_noise_reg with fused PE kernel")
     B, R_img = center.shape[0], center.shape[1]
     K = depth.shape[2]
     n_rays = B * R_img
     c = center.reshape(n_rays, 3)
     r = ray.reshape(n_rays, 3)
     d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
+    noise = _make_noise(density_noise_reg, noise_key, (B, R_img, K))
     pad = (-n_rays) % R_BLK
     if pad:
         c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
@@ -391,11 +438,14 @@ def fused_apply_nerf_samples_pe_soa(params, arch, center, ray, depth, *,
             [r, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], r.dtype), (pad, 1))],
             axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, K), d.dtype)], axis=0)
+        if noise is not None:
+            noise = jnp.concatenate(
+                [noise, jnp.zeros((pad, K), noise.dtype)], axis=0)
     masks = tuple(jax.lax.stop_gradient(m)
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
     out = fused_mlp_pe(c, r, d, interpret, compute_dtype, masks,
-                       ff.pack_weights(params), density_activ)
+                       ff.pack_weights(params), density_activ, noise)
     out = out[:n_rays * K]
     chans = tuple(out[:, ch].reshape(B, R_img, K) for ch in range(3))
     density = out[:, 3].reshape(B, R_img, K)
@@ -812,12 +862,16 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
 # ---------------------------------------------------------------------------
 
 
-def _rm_train_pe_kernel(cdt, bg, activ, center_ref, ray_ref, depth_ref,
-                        mid3_ref, ws3_ref, wc3_ref, midv_ref, wsv_ref,
-                        wcv_ref, F3_ref, Fv_ref, L_ref, I_ref, tgt_ref,
-                        *refs):
+def _rm_train_pe_kernel(cdt, bg, activ, has_noise, center_ref, ray_ref,
+                        depth_ref, mid3_ref, ws3_ref, wc3_ref, midv_ref,
+                        wsv_ref, wcv_ref, F3_ref, Fv_ref, L_ref, I_ref,
+                        tgt_ref, *refs):
     w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
     n_w = len(ff._ORDER)
+    noise_ref = None
+    if has_noise:   # tail: [noise [R,K]] between weights and outputs
+        noise_ref = refs[n_w]
+        n_w += 1
     out_ref = refs[n_w]
     dcenter_ref, dray_ref = refs[n_w + 1], refs[n_w + 2]
     dw_refs = {name: refs[n_w + 3 + i] for i, name in enumerate(ff._ORDER)}
@@ -848,6 +902,8 @@ def _rm_train_pe_kernel(cdt, bg, activ, center_ref, ray_ref, depth_ref,
     d_col = _rows_to_cols(I, depth, R)                         # [n,1]
     L = L_ref[:]
     tgt_all = tgt_ref[:]                                       # [R,8]
+    noise_col = (None if noise_ref is None
+                 else _rows_to_cols(I, noise_ref[:], R))       # [n,1]
 
     m = max(1, min(MLP_SUB, n) // K)
     while R % m:     # chunks must tile the block exactly (static shapes)
@@ -857,8 +913,9 @@ def _rm_train_pe_kernel(cdt, bg, activ, center_ref, ray_ref, depth_ref,
     for s0 in range(0, n, sub):
         sl = slice(s0, s0 + sub)
         rs = s0 // K
+        noise_s = None if noise_col is None else noise_col[sl, 0]
         fwd = ff._forward_block(xp[sl], vi[sl], w, keep=True, cdt=cdt,
-                                activ=activ)
+                                activ=activ, noise=noise_s)
         out4 = fwd[0]
         rgb = out4[:, :3]
         sigma = out4[:, 3:4]
@@ -908,7 +965,8 @@ def _rm_train_pe_kernel(cdt, bg, activ, center_ref, ray_ref, depth_ref,
         g4 = jnp.concatenate([g_rgb, g_s * dist[sl]], axis=-1)  # [sub,4]
 
         dxp_s, dview_s = ff._mlp_backward(xp[sl], vi[sl], w, g4, accumulate,
-                                          cdt=cdt, fwd=fwd, activ=activ)
+                                          cdt=cdt, fwd=fwd, activ=activ,
+                                          noise=noise_s)
         dxp_parts.append(dxp_s)
         dview_parts.append(dview_s)
 
@@ -939,7 +997,7 @@ def _rm_train_pe_kernel(cdt, bg, activ, center_ref, ray_ref, depth_ref,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 9))
 def fused_mlp_pe_rm_train(center, ray, depth, target8, interpret,
                           compute_dtype, bg, masks, weights,
-                          activ="softplus"):
+                          activ="softplus", noise=None):
     """One-call training render: returns (sq_sum, out [R,8]).
 
     sq_sum = sum over valid rays of |rgb_final - target|^2 (unnormalized) —
@@ -951,19 +1009,22 @@ def fused_mlp_pe_rm_train(center, ray, depth, target8, interpret,
     """
     (sq, out), _ = _fused_pe_rm_train_fwd(center, ray, depth, target8,
                                           interpret, compute_dtype, bg,
-                                          masks, weights, activ)
+                                          masks, weights, activ, noise)
     return sq, out
 
 
 def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
                            compute_dtype, bg, masks, weights,
-                           activ="softplus"):
+                           activ="softplus", noise=None):
     R, K = depth.shape
     assert R % R_BLK == 0, (R, R_BLK)
     grid = (R // R_BLK,)
     ws3, wc3, wsv, wcv = masks
     w_list = [weights[k] for k in ff._ORDER]
     L, I = _rm_consts(K)
+    has_noise = noise is not None
+    extra_specs = [_ray_spec(K, R_BLK)] if has_noise else []
+    extra_args = (noise,) if has_noise else ()
     out_shapes = (
         [jax.ShapeDtypeStruct((R, 8), jnp.float32),
          jax.ShapeDtypeStruct((R, 3), jnp.float32),
@@ -975,7 +1036,7 @@ def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
     outs = pl.pallas_call(
         functools.partial(_rm_train_pe_kernel,
                           ff.resolve_compute_dtype(compute_dtype), bg,
-                          activ),
+                          activ, has_noise),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -983,13 +1044,14 @@ def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
                   _row_spec(D_VIEW), _row_spec(D_VIEW), _row_spec(D_VIEW),
                   ff._full_spec((3, D_IN)), ff._full_spec((3, D_VIEW)),
                   ff._full_spec((K, K)), ff._full_spec((K, K)),
-                  _ray_spec(8, R_BLK)] + _w_specs(),
+                  _ray_spec(8, R_BLK)] + _w_specs() + extra_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )(center, ray, depth, jnp.asarray(_MID3D), ws3, wc3,
       jnp.asarray(_MIDV), wsv, wcv,
-      jnp.asarray(_F3D), jnp.asarray(_FV), L, I, target8, *w_list)
+      jnp.asarray(_F3D), jnp.asarray(_FV), L, I, target8, *w_list,
+      *extra_args)
     out = outs[0]
     dcenter, dray = outs[1], outs[2]
     dw = {k: outs[3 + i] for i, k in enumerate(ff._ORDER)}
@@ -998,16 +1060,17 @@ def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
     rgb = out[:, :3]
     rgb_fin = rgb if bg is None else rgb + bg * (1.0 - out[:, 4:5])
     sq = jnp.sum(target8[:, 3:4] * (rgb_fin - target8[:, :3]) ** 2)
-    return (sq, out), (dcenter, dray, dw, depth, target8, masks)
+    return (sq, out), (dcenter, dray, dw, depth, target8, masks, noise)
 
 
 def _fused_pe_rm_train_bwd(interpret, compute_dtype, bg, activ, res, g):
     g_sq, _g_out = g   # out is metrics-only; the wrapper stop-gradients it
-    dcenter, dray, dw, depth, target8, masks = res
+    dcenter, dray, dw, depth, target8, masks, noise = res
     zero_masks = tuple(jnp.zeros_like(m) for m in masks)
+    d_noise = None if noise is None else jnp.zeros_like(noise)
     return (dcenter * g_sq, dray * g_sq, jnp.zeros_like(depth),
             jnp.zeros_like(target8), zero_masks,
-            {k: v * g_sq for k, v in dw.items()})
+            {k: v * g_sq for k, v in dw.items()}, d_noise)
 
 
 fused_mlp_pe_rm_train.defvjp(_fused_pe_rm_train_fwd, _fused_pe_rm_train_bwd)
@@ -1017,7 +1080,8 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
                                progress=None, barf_c2f=None,
                                setbg_opaque=False, bgcolor=None,
                                interpret=False, compute_dtype="float32",
-                               density_activ="softplus"):
+                               density_activ="softplus",
+                               density_noise_reg=None, noise_key=None):
     """Training-only fused render+MSE (no fine sampling).
 
     center/ray: [B,R,3]; depth: [B,R,K,1] sorted ascending; target [B,R,3].
@@ -1033,6 +1097,7 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
     c = center.reshape(n_rays, 3)
     r = ray.reshape(n_rays, 3)
     d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
+    noise = _make_noise(density_noise_reg, noise_key, (B, R_img, K))
     t8 = jnp.concatenate(
         [target.reshape(n_rays, 3),
          jnp.ones((n_rays, 1), jnp.float32),
@@ -1045,6 +1110,9 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
             axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, K), d.dtype)], axis=0)
         t8 = jnp.concatenate([t8, jnp.zeros((pad, 8), t8.dtype)], axis=0)
+        if noise is not None:
+            noise = jnp.concatenate(
+                [noise, jnp.zeros((pad, K), noise.dtype)], axis=0)
     masks = tuple(jax.lax.stop_gradient(m)
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
@@ -1058,21 +1126,24 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
         rowspec = _shard_spec(1)
         rep = jax.tree_util.tree_map(lambda _: P(), (masks, weights))
 
-        def _local(cc, rr, dd, tt, mm, ww):
+        def _local(cc, rr, dd, tt, mm, ww, *nn):
             sq_l, out_l = fused_mlp_pe_rm_train(
                 cc, rr, dd, tt, interpret, compute_dtype, bg, mm, ww,
-                density_activ)
+                density_activ, nn[0] if nn else None)
             return jax.lax.psum(sq_l, RAY_AXIS), out_l
 
+        n_args = () if noise is None else (noise,)
+        n_specs = () if noise is None else (rowspec,)
         sq, out = shard_map(
             _local, mesh=mesh,
-            in_specs=(rowspec, rowspec, rowspec, rowspec, rep[0], rep[1]),
+            in_specs=(rowspec, rowspec, rowspec, rowspec, rep[0], rep[1])
+            + n_specs,
             out_specs=(P(), rowspec), check_rep=False,
-        )(c, r, d, t8, masks, weights)
+        )(c, r, d, t8, masks, weights, *n_args)
     else:
         sq, out = fused_mlp_pe_rm_train(
             c, r, d, t8, interpret, compute_dtype, bg, masks, weights,
-            density_activ)
+            density_activ, noise)
     out = jax.lax.stop_gradient(out)[:n_rays]
     rgb = out[:, :3].reshape(B, R_img, 3)
     depth_out = out[:, 3:4].reshape(B, R_img, 1)

@@ -142,6 +142,30 @@ def test_gradient_parity_realistic(setup):
         assert rel_l2(a, b) < 2e-2, jax.tree_util.keystr(pa)
 
 
+def test_forward_parity_density_noise(setup):
+    """r4: density_noise_reg as a kernel operand — the wrapper draws the
+    exact jnp-path noise (normal(noise_key,[B,R,K]) * reg), so density
+    parity holds at the usual FMA tolerance; rgb is noise-independent."""
+    params, center, ray, depth = setup
+    key = jax.random.PRNGKey(5)
+    rgb_ref, dens_ref = nerf_mlp.apply_nerf_samples(
+        params, ARCH, center, ray, depth, view_dep=True,
+        density_activ="softplus", density_noise_reg=0.7, noise_key=key)
+    rgb_f, dens_f = fused_pe.fused_apply_nerf_samples_pe(
+        params, ARCH, center, ray, depth, view_dep=True,
+        density_activ="softplus", density_noise_reg=0.7, noise_key=key,
+        interpret=True)
+    # the noise must actually differ from the noise-free density
+    _, dens_clean = fused_pe.fused_apply_nerf_samples_pe(
+        params, ARCH, center, ray, depth, view_dep=True,
+        density_activ="softplus", interpret=True)
+    assert float(jnp.max(jnp.abs(dens_f - dens_clean))) > 0.1
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_ref),
+                               rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dens_f), np.asarray(dens_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_ray_padding(setup):
     """n_rays not a multiple of the ray block: padded rays must not leak."""
     params, center, ray, depth = setup
@@ -562,7 +586,8 @@ def test_composited_relu_parity(setup):
                                    rtol=5e-3, atol=5e-6)
 
 
-def test_fine_sampling_fused_train_kernel_parity(monkeypatch):
+@pytest.mark.parametrize("noise_reg", [None, 1.0])
+def test_fine_sampling_fused_train_kernel_parity(monkeypatch, noise_reg):
     """Round-4: fine-sampling TRAIN mode routes the FINE network through the
     one-call fused train kernel (the coarse net must stay on the field+XLA
     path: its per-sample prob drives the CDF resampling; EVAL stays on the
@@ -571,7 +596,12 @@ def test_fine_sampling_fused_train_kernel_parity(monkeypatch):
     gradients (train) and the SoA rgb_fine (eval) must match the all-jnp
     path. The fused path is forced on (interpret mode) — on CPU
     _use_fused_field() would otherwise gate everything off and the
-    comparison would be vacuous."""
+    comparison would be vacuous.
+
+    noise_reg=1.0 covers the r4 density_noise_reg kernel operand (the
+    nerf_llff_repr protocol): the wrappers draw the exact jnp-path noise
+    (normal(noise_key,[B,R,K]) * reg) and pass it into the kernels, so the
+    comparison is bitwise in the draw and exact in the math."""
     import functools
     from neural_invertible_warp_tpu import config
     from neural_invertible_warp_tpu.models import get_system_class
@@ -585,7 +615,7 @@ def test_fine_sampling_fused_train_kernel_parity(monkeypatch):
             "--data.image_size=[8,8]",
             "--nerf.sample_intvs=16", "--nerf.sample_intvs_fine=16",
             "--nerf.rand_rays=8", "--nerf.sample_stratified!",
-        ])
+        ] + ([f"--nerf.density_noise_reg={noise_reg}"] if noise_reg else []))
         opt = config.override_options(opt, over, key_stack=[],
                                       safe_check=True)
         opt.H, opt.W = 8, 8
@@ -653,9 +683,22 @@ def test_fine_sampling_fused_train_kernel_parity(monkeypatch):
     for k in l_r:
         np.testing.assert_allclose(l_f[k], l_r[k], rtol=2e-4, err_msg=k)
     np.testing.assert_allclose(rgb_eval_f, rgb_eval_r, rtol=1e-4, atol=1e-6)
+    # with noise_reg, density_pre+noise clusters near 0, so the kernel's
+    # 1-ulp FMA point difference (file docstring) flips a few RELU-derivative
+    # masks (diagnostic 2026-08-19: worst |delta| 1.8e-5 with softplus vs
+    # 2.2e-4 with relu, same seeds) — elementwise bounds are meaningless for
+    # the relu config; use per-leaf relative-L2 like
+    # test_gradient_parity_realistic
+    def rel_l2(a, b):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        return np.linalg.norm(a - b) / max(float(np.linalg.norm(a)), 1e-12)
+
     for (pa, a), (pb, b) in zip(
             jax.tree_util.tree_leaves_with_path(g_r),
             jax.tree_util.tree_leaves_with_path(g_f)):
-        np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-6,
-            err_msg=jax.tree_util.keystr(pa))
+        if noise_reg:
+            assert rel_l2(a, b) < 1e-2, jax.tree_util.keystr(pa)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-6,
+                err_msg=jax.tree_util.keystr(pa))

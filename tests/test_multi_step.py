@@ -61,12 +61,15 @@ def test_multi_step_matches_single_steps():
 
 def test_density_noise_reg_falls_back_from_fused_kernels():
     """density_noise_reg adds pre-activation noise (reference
-    model/nerf.py:430-433), which the fused kernels cannot express — the
-    routing in system.py must take the jnp path whenever noise is active.
-    Forcing the fused-field flag on CPU proves the gate: had any fused
-    branch been taken, the pallas call would fail off-TPU (and before the
-    gate existed, render_rays/apply_field_samples silently DROPPED the
-    noise)."""
+    model/nerf.py:430-433). Since r4 the PE kernels take the noise as a
+    lane-dense operand, but kernel-UNSUPPORTED configurations (here: a tiny
+    non-paper arch, so fused_pe.supports() is False) must still route to
+    the jnp path and APPLY the noise — before the gate existed,
+    render_rays/apply_field_samples silently DROPPED it. Forcing the
+    fused-field flag on CPU proves the gate: had any fused branch been
+    taken, the pallas call would fail off-TPU. (Noise parity THROUGH the
+    kernels: tests/test_fused_pe.py::
+    test_fine_sampling_fused_train_kernel_parity[1.0].)"""
     key = jax.random.PRNGKey(0)
 
     def one_step(fused_flag, reg):
