@@ -365,14 +365,33 @@ def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
     kernel as a lane-dense [R,K] operand.
     """
     assert density_activ in ("softplus", "relu") and view_dep
+    out, n_rays, (B, R_img, K) = _dispatch_mlp_pe(
+        params, center, ray, depth, density_noise_reg, noise_key,
+        progress, barf_c2f, interpret, compute_dtype, density_activ)
+    rgb = out[:, :3].reshape(B, R_img, K, 3)
+    density = out[:, 3].reshape(B, R_img, K)
+    return rgb, density
+
+
+def _dispatch_mlp_pe(params, center, ray, depth, density_noise_reg,
+                     noise_key, progress, barf_c2f, interpret,
+                     compute_dtype, density_activ):
+    """Shared prep + dispatch for the per-sample PE kernel wrappers:
+    flatten rays, draw the (optional) density noise, pad to the block/shard
+    multiple, and run ``fused_mlp_pe`` — per-shard via shard_map when a ray
+    mesh is active (GSPMD treats pallas_call as opaque and would otherwise
+    all-gather the rays and replicate the kernel; the weight cotangents are
+    psum'd by shard_map's replicated-input transpose, exactly as the rm
+    wrappers below). Returns (out [n_rays*K, 4], n_rays, (B, R_img, K))."""
     B, R_img = center.shape[0], center.shape[1]
     K = depth.shape[2]
     n_rays = B * R_img
+    mesh, n_sh = _mesh_shards()
     c = center.reshape(n_rays, 3)
     r = ray.reshape(n_rays, 3)
     d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
     noise = _make_noise(density_noise_reg, noise_key, (B, R_img, K))
-    pad = (-n_rays) % R_BLK
+    pad = (-n_rays) % (R_BLK * n_sh)
     if pad:
         c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
         # unit-z pad rays: zero rays would hit the norm clamp, which is fine
@@ -387,12 +406,26 @@ def fused_apply_nerf_samples_pe(params, arch, center, ray, depth, *,
     masks = tuple(jax.lax.stop_gradient(m)
                   for m in pe_mask_rows(progress if progress is not None
                                         else 1.0, barf_c2f))
-    out = fused_mlp_pe(c, r, d, interpret, compute_dtype, masks,
-                       ff.pack_weights(params), density_activ, noise)
-    out = out[:n_rays * K]
-    rgb = out[:, :3].reshape(B, R_img, K, 3)
-    density = out[:, 3].reshape(B, R_img, K)
-    return rgb, density
+    weights = ff.pack_weights(params)
+    if mesh is not None:
+        shard_map = _shard_map_fn()
+        from jax.sharding import PartitionSpec as P
+        rowspec = _shard_spec(1)
+        rep = jax.tree_util.tree_map(lambda _: P(), (masks, weights))
+        n_args = () if noise is None else (noise,)
+        n_specs = () if noise is None else (rowspec,)
+        out = shard_map(
+            lambda cc, rr, dd, mm, ww, *nn: fused_mlp_pe(
+                cc, rr, dd, interpret, compute_dtype, mm, ww,
+                density_activ, nn[0] if nn else None),
+            mesh=mesh,
+            in_specs=(rowspec, rowspec, rowspec, rep[0], rep[1]) + n_specs,
+            out_specs=rowspec, check_rep=False,
+        )(c, r, d, masks, weights, *n_args)
+    else:
+        out = fused_mlp_pe(c, r, d, interpret, compute_dtype, masks,
+                           weights, density_activ, noise)
+    return out[:n_rays * K], n_rays, (B, R_img, K)
 
 
 def _make_noise(density_noise_reg, noise_key, shape):
@@ -424,29 +457,9 @@ def fused_apply_nerf_samples_pe_soa(params, arch, center, ray, depth, *,
     backward re-assembles the [N,4] cotangent in one fused write.
     """
     assert density_activ in ("softplus", "relu") and view_dep
-    B, R_img = center.shape[0], center.shape[1]
-    K = depth.shape[2]
-    n_rays = B * R_img
-    c = center.reshape(n_rays, 3)
-    r = ray.reshape(n_rays, 3)
-    d = jax.lax.stop_gradient(depth.reshape(n_rays, K))
-    noise = _make_noise(density_noise_reg, noise_key, (B, R_img, K))
-    pad = (-n_rays) % R_BLK
-    if pad:
-        c = jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)], axis=0)
-        r = jnp.concatenate(
-            [r, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], r.dtype), (pad, 1))],
-            axis=0)
-        d = jnp.concatenate([d, jnp.ones((pad, K), d.dtype)], axis=0)
-        if noise is not None:
-            noise = jnp.concatenate(
-                [noise, jnp.zeros((pad, K), noise.dtype)], axis=0)
-    masks = tuple(jax.lax.stop_gradient(m)
-                  for m in pe_mask_rows(progress if progress is not None
-                                        else 1.0, barf_c2f))
-    out = fused_mlp_pe(c, r, d, interpret, compute_dtype, masks,
-                       ff.pack_weights(params), density_activ, noise)
-    out = out[:n_rays * K]
+    out, n_rays, (B, R_img, K) = _dispatch_mlp_pe(
+        params, center, ray, depth, density_noise_reg, noise_key,
+        progress, barf_c2f, interpret, compute_dtype, density_activ)
     chans = tuple(out[:, ch].reshape(B, R_img, K) for ch in range(3))
     density = out[:, 3].reshape(B, R_img, K)
     return chans, density

@@ -393,6 +393,53 @@ def test_kernels_under_ray_mesh(setup, n_dev, R):
     # unsharded kernel — observed max 1.4e-5 relative on one leaf)
 
 
+@pytest.mark.parametrize("n_dev,R,noise_reg", [
+    (2, 3, None),
+    (8, 5, None),    # 10 rays, NOT divisible by 8: uneven pad split
+    (8, 5, 0.8),     # + density noise sharded alongside the rays
+])
+def test_soa_kernel_under_ray_mesh(setup, n_dev, R, noise_reg):
+    """The per-sample SoA wrapper (the fine-sampling coarse path and
+    _field_composite) must also dispatch per-shard under an active ray mesh
+    (r4) — before, only the rm wrappers did, so fine-sampling configs on a
+    mesh would all-gather the rays and run the coarse kernel replicated.
+    Values and gradients must match the unsharded call; the noise draw
+    happens OUTSIDE shard_map, so it is bitwise identical either way."""
+    from neural_invertible_warp_tpu.parallel import mesh as mesh_lib
+    from neural_invertible_warp_tpu.ops import render
+    params, center, ray, _ = setup
+    rng = np.random.RandomState(17)
+    B, K = center.shape[0], 128
+    center = jnp.asarray(rng.randn(B, R, 3).astype(np.float32) * 0.2)
+    ray = jnp.asarray(rng.randn(B, R, 3).astype(np.float32))
+    depth = jnp.asarray(
+        np.sort(rng.rand(B, R, K, 1), axis=2).astype(np.float32) * 3 + 1)
+    key = jax.random.PRNGKey(3)
+
+    def probe(params, center, ray):
+        chans, dens = fused_pe.fused_apply_nerf_samples_pe_soa(
+            params, ARCH, center, ray, depth, view_dep=True,
+            density_activ="softplus", progress=0.4, barf_c2f=(0.1, 0.5),
+            density_noise_reg=noise_reg, noise_key=key, interpret=True)
+        rgb, d, op, _ = render.composite_soa(ray, chans, dens, depth)
+        return jnp.mean(rgb ** 2) + jnp.mean(op) + jnp.mean(d), rgb
+
+    (l0, rgb0), g0 = jax.value_and_grad(probe, argnums=(0, 1, 2),
+                                        has_aux=True)(params, center, ray)
+    mesh = mesh_lib.make_mesh(n_devices=n_dev)
+    with mesh_lib.use_mesh(mesh):
+        (l1, rgb1), g1 = jax.value_and_grad(probe, argnums=(0, 1, 2),
+                                            has_aux=True)(params, center,
+                                                          ray)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=1e-6)
+
+
 def test_train_kernel_padding_does_not_leak(setup):
     """Padded rays (valid=0) must contribute nothing: same weight gradients
     with 3 rays (padded to 8) as the jnp chain on exactly those 3 rays."""
