@@ -72,14 +72,15 @@ def fused_kernel_flops_per_step(system):
     fused_train = (tpu_cfg.get("fused_train", True)
                    and tpu_cfg.get("fused_raymarch", False))
     if opt.nerf.fine_sampling:
-        # fine-sampling path (r4): the coarse net runs the SoA field kernel
-        # pair (fwd + bwd ~ 4x fwd — its prob must come out for the CDF
-        # resample), the fine net (K = intvs + intvs_fine) runs the one-call
-        # train kernel (~3x) when fused_train, else the field pair (~4x)
+        # fine-sampling path (r4): when fused_train, BOTH nets run the
+        # one-call train kernel (~3x fwd each — the coarse kernel emits the
+        # compositing weights as a stop-grad output for the CDF resample,
+        # matching the reference's torch.no_grad resample); otherwise the
+        # SoA field kernel pair (fwd + bwd ~ 4x fwd) per net
         n_pts_fine = n_rays * (opt.nerf.sample_intvs
                                + opt.nerf.sample_intvs_fine)
-        return (4.0 * n_pts
-                + (3.0 if fused_train else 4.0) * n_pts_fine) * per_point
+        per_net = 3.0 if fused_train else 4.0
+        return per_net * (n_pts + n_pts_fine) * per_point
     return (3.0 if fused_train else 4.0) * n_pts * per_point
 
 

@@ -251,6 +251,54 @@ class NerfSystem:
                         density_activ=self.arch.get("density_activ",
                                                     "softplus"))
                     return dict(rgb=rgb, depth=d, opacity=opac)
+        if (opt.nerf.fine_sampling and mode == "train" and target is not None
+                and self._use_fused_field() == "pe"
+                and (opt.get("tpu") or {}).get("fused_raymarch", False)
+                and (opt.get("tpu") or {}).get("fused_train", True)):
+            # fully-fused fine-sampling training: the reference resamples
+            # under torch.no_grad() (model/nerf.py:311-315), so the coarse
+            # network's ONLY gradient is its own photometric MSE — it can
+            # run the one-call train kernel too, emitting the per-sample
+            # compositing weights as a stop-grad output for the CDF
+            # resample. Two one-call kernels replace the coarse SoA
+            # fwd+bwd pair plus the fine train kernel (one fewer dispatch
+            # and no coarse forward recompute).
+            from ..ops.pallas import fused_pe
+            K_c = depth.shape[2]
+            K_f = K_c + opt.nerf.sample_intvs_fine
+            if (fused_pe.supports(self.arch, opt.nerf, sample_intvs=K_c)
+                    and fused_pe.supports(self.arch, opt.nerf,
+                                          sample_intvs=K_f)):
+                kw = dict(
+                    progress=progress,
+                    barf_c2f=tuple(opt.barf_c2f) if opt.get("barf_c2f")
+                    else None,
+                    setbg_opaque=bool(opt.nerf.get("setbg_opaque")),
+                    bgcolor=opt.data.get("bgcolor"),
+                    compute_dtype=self._kernel_compute_dtype(),
+                    density_activ=self.arch.get("density_activ",
+                                                "softplus"),
+                    density_noise_reg=(opt.nerf.get("density_noise_reg")
+                                       if noise_active else None))
+                out_c, sq_c, n_c = fused_pe.fused_render_rays_pe_train(
+                    params["nerf"], self.arch, center, ray, depth, target,
+                    noise_key=jax.random.fold_in(k_noise, 0),
+                    want_prob=True, **kw)
+                pdf = out_c.pop("prob")   # already stop-gradiented
+                depth_fine = sampling.sample_depth_from_pdf(
+                    pdf, opt.nerf.sample_intvs, opt.nerf.sample_intvs_fine,
+                    depth_range)
+                depth_all = jnp.sort(
+                    jnp.concatenate([depth, depth_fine], axis=2), axis=2)
+                out_f, sq_f, n_f = fused_pe.fused_render_rays_pe_train(
+                    params["nerf_fine"], self.arch, center, ray, depth_all,
+                    target, noise_key=jax.random.fold_in(k_noise, 1), **kw)
+                out_c.update(render_sq_sum=sq_c, render_n=n_c,
+                             rgb_fine=out_f["rgb"],
+                             depth_fine=out_f["depth"],
+                             opacity_fine=out_f["opacity"],
+                             render_fine_sq_sum=sq_f, render_fine_n=n_f)
+                return out_c
         common = dict(
             view_dep=opt.nerf.view_dep,
             density_activ=self.arch.get("density_activ", "softplus"),

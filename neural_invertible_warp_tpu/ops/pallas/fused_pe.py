@@ -499,6 +499,14 @@ def _rows_to_cols(I, mat, rays_blk):
         [_cast_row_to_col(I, mat[r:r + 1]) for r in range(rays_blk)], axis=0)
 
 
+def _cols_to_rows(I, col, rays_blk, K):
+    """[R*K,1] row-major column -> [R,K] rows (per-ray MXU transposes,
+    the exact inverse layout move of _rows_to_cols; fp-exact)."""
+    return jnp.concatenate(
+        [ff._dot_tn(col[r * K:(r + 1) * K], I) for r in range(rays_blk)],
+        axis=0)
+
+
 def _per_ray_sums(vals, rays_blk, K):
     """[R*K,C] -> [R,C]: sum each ray's K contiguous rows (sublane reduce)."""
     return jnp.concatenate(
@@ -875,10 +883,10 @@ def fused_render_rays_pe(params, arch, center, ray, depth, *,
 # ---------------------------------------------------------------------------
 
 
-def _rm_train_pe_kernel(cdt, bg, activ, has_noise, center_ref, ray_ref,
-                        depth_ref, mid3_ref, ws3_ref, wc3_ref, midv_ref,
-                        wsv_ref, wcv_ref, F3_ref, Fv_ref, L_ref, I_ref,
-                        tgt_ref, *refs):
+def _rm_train_pe_kernel(cdt, bg, activ, has_noise, want_prob, center_ref,
+                        ray_ref, depth_ref, mid3_ref, ws3_ref, wc3_ref,
+                        midv_ref, wsv_ref, wcv_ref, F3_ref, Fv_ref, L_ref,
+                        I_ref, tgt_ref, *refs):
     w = {name: refs[i][:] for i, name in enumerate(ff._ORDER)}
     n_w = len(ff._ORDER)
     noise_ref = None
@@ -886,8 +894,13 @@ def _rm_train_pe_kernel(cdt, bg, activ, has_noise, center_ref, ray_ref,
         noise_ref = refs[n_w]
         n_w += 1
     out_ref = refs[n_w]
-    dcenter_ref, dray_ref = refs[n_w + 1], refs[n_w + 2]
-    dw_refs = {name: refs[n_w + 3 + i] for i, name in enumerate(ff._ORDER)}
+    off = n_w + 1
+    prob_ref = None
+    if want_prob:   # per-sample compositing weights [R,K] (stop-grad, for
+        prob_ref = refs[off]   # the fine-sampling CDF resample downstream)
+        off += 1
+    dcenter_ref, dray_ref = refs[off], refs[off + 1]
+    dw_refs = {name: refs[off + 2 + i] for i, name in enumerate(ff._ORDER)}
 
     step = pl.program_id(0)
 
@@ -923,6 +936,7 @@ def _rm_train_pe_kernel(cdt, bg, activ, has_noise, center_ref, ray_ref,
         m -= 1
     sub = m * K
     out_parts, dxp_parts, dview_parts, gdist_parts = [], [], [], []
+    prob_parts = []
     for s0 in range(0, n, sub):
         sl = slice(s0, s0 + sub)
         rs = s0 // K
@@ -938,6 +952,8 @@ def _rm_train_pe_kernel(cdt, bg, activ, has_noise, center_ref, ray_ref,
         prefix = _prefix_blockdiag(L, s, r_sub, K)
         T = jnp.exp(-prefix)
         wgt = T * alpha
+        if want_prob:
+            prob_parts.append(_cols_to_rows(I, wgt, r_sub, K))
 
         # composite FORWARD for this chunk's (whole) rays. The concat runs
         # at [sub,*] granularity into the full 8-wide tile (the narrow
@@ -984,6 +1000,8 @@ def _rm_train_pe_kernel(cdt, bg, activ, has_noise, center_ref, ray_ref,
         dview_parts.append(dview_s)
 
     out_ref[:] = jnp.concatenate(out_parts, axis=0)            # [R,8]
+    if want_prob:
+        prob_ref[:] = jnp.concatenate(prob_parts, axis=0)      # [R,K]
 
     # quadrature chain (see _rm_bwd_pe_kernel)
     g_dist = jnp.concatenate(gdist_parts, axis=0)              # [n,1]
@@ -1007,11 +1025,11 @@ def _rm_train_pe_kernel(cdt, bg, activ, has_noise, center_ref, ray_ref,
     dray_ref[:] = dray + dray_quad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 9, 11))
 def fused_mlp_pe_rm_train(center, ray, depth, target8, interpret,
                           compute_dtype, bg, masks, weights,
-                          activ="softplus", noise=None):
-    """One-call training render: returns (sq_sum, out [R,8]).
+                          activ="softplus", noise=None, want_prob=False):
+    """One-call training render: returns (sq_sum, out [R,8][, prob [R,K]]).
 
     sq_sum = sum over valid rays of |rgb_final - target|^2 (unnormalized) —
     the ONLY differentiable output. out carries (rgb, depth, opacity, 0,0,0)
@@ -1019,16 +1037,20 @@ def fused_mlp_pe_rm_train(center, ray, depth, target8, interpret,
     cotangent is ignored by the VJP). target8: [R,8] with target rgb in
     cols 0:3 and the valid flag in col 3. bg: static float background color
     (setbg_opaque compositing happens inside the loss) or None.
+    want_prob (static): additionally return the per-sample compositing
+    weights [R,K] (T*alpha) — non-differentiable, for the fine-sampling
+    CDF resample, which the reference runs under torch.no_grad()
+    (model/nerf.py:311-315), so dropping its cotangent is exact parity.
     """
-    (sq, out), _ = _fused_pe_rm_train_fwd(center, ray, depth, target8,
-                                          interpret, compute_dtype, bg,
-                                          masks, weights, activ, noise)
-    return sq, out
+    res = _fused_pe_rm_train_fwd(center, ray, depth, target8,
+                                 interpret, compute_dtype, bg,
+                                 masks, weights, activ, noise, want_prob)
+    return res[0]
 
 
 def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
                            compute_dtype, bg, masks, weights,
-                           activ="softplus", noise=None):
+                           activ="softplus", noise=None, want_prob=False):
     R, K = depth.shape
     assert R % R_BLK == 0, (R, R_BLK)
     grid = (R // R_BLK,)
@@ -1038,18 +1060,22 @@ def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
     has_noise = noise is not None
     extra_specs = [_ray_spec(K, R_BLK)] if has_noise else []
     extra_args = (noise,) if has_noise else ()
+    prob_shapes = ([jax.ShapeDtypeStruct((R, K), jnp.float32)]
+                   if want_prob else [])
+    prob_specs = [_ray_spec(K, R_BLK)] if want_prob else []
+    n_lead = 2 + len(prob_shapes)   # out [, prob], dcenter, dray, then dw
     out_shapes = (
-        [jax.ShapeDtypeStruct((R, 8), jnp.float32),
-         jax.ShapeDtypeStruct((R, 3), jnp.float32),
+        [jax.ShapeDtypeStruct((R, 8), jnp.float32)] + prob_shapes +
+        [jax.ShapeDtypeStruct((R, 3), jnp.float32),
          jax.ShapeDtypeStruct((R, 3), jnp.float32)] +
         [jax.ShapeDtypeStruct(ff._WEIGHT_SHAPES.get(k) or ff._BIAS_SHAPES[k],
                               jnp.float32) for k in ff._ORDER])
-    out_specs = ([_ray_spec(8, R_BLK), _ray_spec(3, R_BLK),
-                  _ray_spec(3, R_BLK)] + _w_specs())
+    out_specs = ([_ray_spec(8, R_BLK)] + prob_specs +
+                 [_ray_spec(3, R_BLK), _ray_spec(3, R_BLK)] + _w_specs())
     outs = pl.pallas_call(
         functools.partial(_rm_train_pe_kernel,
                           ff.resolve_compute_dtype(compute_dtype), bg,
-                          activ, has_noise),
+                          activ, has_noise, want_prob),
         grid=grid,
         in_specs=[_ray_spec(3, R_BLK), _ray_spec(3, R_BLK),
                   _ray_spec(K, R_BLK),
@@ -1066,18 +1092,22 @@ def _fused_pe_rm_train_fwd(center, ray, depth, target8, interpret,
       jnp.asarray(_F3D), jnp.asarray(_FV), L, I, target8, *w_list,
       *extra_args)
     out = outs[0]
-    dcenter, dray = outs[1], outs[2]
-    dw = {k: outs[3 + i] for i, k in enumerate(ff._ORDER)}
+    prob = outs[1] if want_prob else None
+    dcenter, dray = outs[n_lead - 1], outs[n_lead]
+    dw = {k: outs[n_lead + 1 + i] for i, k in enumerate(ff._ORDER)}
     # loss value in XLA from the per-ray outputs (cheap [R,*] ops); uses the
     # same fp32 quantities the kernel's cotangent used
     rgb = out[:, :3]
     rgb_fin = rgb if bg is None else rgb + bg * (1.0 - out[:, 4:5])
     sq = jnp.sum(target8[:, 3:4] * (rgb_fin - target8[:, :3]) ** 2)
-    return (sq, out), (dcenter, dray, dw, depth, target8, masks, noise)
+    primal = (sq, out, prob) if want_prob else (sq, out)
+    return primal, (dcenter, dray, dw, depth, target8, masks, noise)
 
 
-def _fused_pe_rm_train_bwd(interpret, compute_dtype, bg, activ, res, g):
-    g_sq, _g_out = g   # out is metrics-only; the wrapper stop-gradients it
+def _fused_pe_rm_train_bwd(interpret, compute_dtype, bg, activ, want_prob,
+                           res, g):
+    g_sq = g[0]   # out (and prob) are metrics/resample-only; the wrapper
+    # stop-gradients them (the reference's resample is under no_grad)
     dcenter, dray, dw, depth, target8, masks, noise = res
     zero_masks = tuple(jnp.zeros_like(m) for m in masks)
     d_noise = None if noise is None else jnp.zeros_like(noise)
@@ -1094,15 +1124,20 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
                                setbg_opaque=False, bgcolor=None,
                                interpret=False, compute_dtype="float32",
                                density_activ="softplus",
-                               density_noise_reg=None, noise_key=None):
-    """Training-only fused render+MSE (no fine sampling).
+                               density_noise_reg=None, noise_key=None,
+                               want_prob=False):
+    """Training-only fused render+MSE.
 
     center/ray: [B,R,3]; depth: [B,R,K,1] sorted ascending; target [B,R,3].
     Returns (out_dict, sq_sum, n_terms): out_dict's rgb/depth/opacity are
     stop-gradiented (metrics only); losses['render'] = sq_sum / n_terms is
     the differentiable photometric MSE, with gradients flowing to
     center/ray (the pose/warp chain) and the field weights through the
-    single fused kernel.
+    single fused kernel. want_prob=True (static) additionally returns the
+    per-sample compositing weights as out_dict['prob'] [B,R,K]
+    (stop-gradiented — the reference resamples under torch.no_grad,
+    model/nerf.py:311-315), letting the COARSE network of a fine-sampling
+    config train through this one-call kernel too.
     """
     B, R_img, K = depth.shape[0], depth.shape[1], depth.shape[2]
     n_rays = B * R_img
@@ -1140,28 +1175,34 @@ def fused_render_rays_pe_train(params, arch, center, ray, depth, target, *,
         rep = jax.tree_util.tree_map(lambda _: P(), (masks, weights))
 
         def _local(cc, rr, dd, tt, mm, ww, *nn):
-            sq_l, out_l = fused_mlp_pe_rm_train(
+            res_l = fused_mlp_pe_rm_train(
                 cc, rr, dd, tt, interpret, compute_dtype, bg, mm, ww,
-                density_activ, nn[0] if nn else None)
-            return jax.lax.psum(sq_l, RAY_AXIS), out_l
+                density_activ, nn[0] if nn else None, want_prob)
+            return (jax.lax.psum(res_l[0], RAY_AXIS),) + res_l[1:]
 
         n_args = () if noise is None else (noise,)
         n_specs = () if noise is None else (rowspec,)
-        sq, out = shard_map(
+        o_specs = ((P(), rowspec, rowspec) if want_prob
+                   else (P(), rowspec))
+        res = shard_map(
             _local, mesh=mesh,
             in_specs=(rowspec, rowspec, rowspec, rowspec, rep[0], rep[1])
             + n_specs,
-            out_specs=(P(), rowspec), check_rep=False,
+            out_specs=o_specs, check_rep=False,
         )(c, r, d, t8, masks, weights, *n_args)
     else:
-        sq, out = fused_mlp_pe_rm_train(
+        res = fused_mlp_pe_rm_train(
             c, r, d, t8, interpret, compute_dtype, bg, masks, weights,
-            density_activ, noise)
+            density_activ, noise, want_prob)
+    sq, out = res[0], res[1]
     out = jax.lax.stop_gradient(out)[:n_rays]
     rgb = out[:, :3].reshape(B, R_img, 3)
     depth_out = out[:, 3:4].reshape(B, R_img, 1)
     opacity = out[:, 4:5].reshape(B, R_img, 1)
     if setbg_opaque:
         rgb = rgb + bgcolor * (1 - opacity)
-    return (dict(rgb=rgb, depth=depth_out, opacity=opacity), sq,
-            float(n_rays * 3))
+    out_dict = dict(rgb=rgb, depth=depth_out, opacity=opacity)
+    if want_prob:
+        out_dict["prob"] = jax.lax.stop_gradient(
+            res[2])[:n_rays].reshape(B, R_img, K)
+    return out_dict, sq, float(n_rays * 3)
