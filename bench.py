@@ -79,8 +79,14 @@ def fused_kernel_flops_per_step(system):
         # SoA field kernel pair (fwd + bwd ~ 4x fwd) per net
         n_pts_fine = n_rays * (opt.nerf.sample_intvs
                                + opt.nerf.sample_intvs_fine)
-        per_net = 3.0 if fused_train else 4.0
-        return per_net * (n_pts + n_pts_fine) * per_point
+        per_fine = 3.0 if fused_train else 4.0
+        # tpu.fused_raymarch_full=false forces the r4 fallback tier: the
+        # coarse net runs the SoA fwd+bwd pair (~4x fwd) instead of the
+        # one-call train kernel (~3x)
+        per_coarse = per_fine if tpu_cfg.get("fused_raymarch_full", True) \
+            else 4.0
+        return per_coarse * n_pts * per_point \
+            + per_fine * n_pts_fine * per_point
     return (3.0 if fused_train else 4.0) * n_pts * per_point
 
 
@@ -217,6 +223,44 @@ def build():
     return system, state
 
 
+def all_workloads():
+    """VERDICT r4 Weak #4: every headline perf number as a machine artifact.
+    Runs each workload row in a subprocess (module constants + jax config are
+    baked at import) and writes one combined JSON (BENCH_r05_workloads.json by
+    default). The driver's headline row stays the plain invocation."""
+    import subprocess
+    out_path = "BENCH_r05_workloads.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    rows = [
+        ("flagship", []),
+        ("dtu", []),
+        ("blender_fine", []),
+        ("blender_fine_noise1", ["--workload", "blender_fine",
+                                 "--set", "nerf.density_noise_reg=1.0"]),
+    ]
+    quick = ["--quick"] if QUICK else []
+    results = {}
+    for name, argv in rows:
+        cmd = [sys.executable, __file__] + \
+            (argv or ["--workload", name]) + quick
+        print("== {}: {}".format(name, " ".join(cmd[1:])), file=sys.stderr)
+        p = subprocess.run(cmd, capture_output=True, text=True)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not line:
+            print(p.stdout + p.stderr, file=sys.stderr)
+            raise SystemExit("workload {} failed".format(name))
+        results[name] = json.loads(line[-1])
+        print(json.dumps({name: results[name]["value"]}), file=sys.stderr)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"written": out_path,
+                      "rays_per_sec_per_chip":
+                          {k: v["value"] for k, v in results.items()},
+                      "step_ms": {k: v["step_ms"]
+                                  for k, v in results.items()}}))
+
+
 def main():
     import jax
 
@@ -287,4 +331,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--all-workloads" in sys.argv:
+        all_workloads()
+    else:
+        main()

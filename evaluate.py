@@ -70,6 +70,41 @@ def generate_novel_view_video(opt, trainer, n_views=60):
     log.info("novel-view video written")
 
 
+def export_dtu_cameras(opt, trainer, mode="refined"):
+    """IDR-style camera export for DTU mesh evaluation (reference
+    model/barf_dtu.py:74-133, save_projection_matrix_for_dtu — dead code
+    there: its only call site is commented out at barf_dtu.py:41).
+
+    Writes ``<output_path>/cameras_<mode>.npz`` with one ``world_mat_i`` =
+    ``[K @ w2c; 0 0 0 1]`` per TRAIN camera, with translations mapped back
+    to the ORIGINAL DTU metric frame (undo the loader's scale_mat centering
+    + 1/300 scaling; data/dtu.py load_scene_data)."""
+    import numpy as np
+    from neural_invertible_warp_tpu.data.dtu import SCALING_FACTOR
+
+    system, state = trainer.system, trainer.state
+    pose_pred, pose_GT = system.get_all_training_poses(state)
+    poses_w2c = np.asarray(pose_pred if pose_pred is not None else pose_GT)
+    R, t = poses_w2c[:, :3, :3], poses_w2c[:, :3, 3:]
+    c2w_R = np.transpose(R, (0, 2, 1))
+    c2w_t = -c2w_R @ t
+    # undo the normalization: t_raw = t_norm / scaling_factor + norm_trans
+    c2w_t = c2w_t / SCALING_FACTOR + trainer.train_data.norm_trans[None]
+    w2c_R = np.transpose(c2w_R, (0, 2, 1))
+    w2c_t = -w2c_R @ c2w_t
+    K = np.asarray(trainer.train_data.intrinsics)[:, :3, :3]
+    P = K @ np.concatenate([w2c_R, w2c_t], axis=-1)       # [B,3,4]
+    bottom = np.tile(np.array([[[0, 0, 0, 1.0]]], np.float32),
+                     (P.shape[0], 1, 1))
+    world_mats = np.concatenate([P, bottom], axis=1).astype(np.float32)
+    cameras = {"world_mat_%d" % i: world_mats[i]
+               for i in range(world_mats.shape[0])}
+    out = os.path.join(opt.output_path, "cameras_{}.npz".format(mode))
+    np.savez(out, **cameras)
+    log.info("wrote {} ({} cameras)".format(out, len(cameras)))
+    return out
+
+
 def main():
     opt_cmd = config.parse_arguments(sys.argv[1:])
     if "resume" not in opt_cmd and "load" not in opt_cmd:
@@ -81,6 +116,8 @@ def main():
     trainer.restore_checkpoint()
     results = trainer.system.evaluate_full(trainer.state)
     log.info("evaluation results: {}".format(results))
+    if opt.data.dataset == "dtu" and opt_cmd.get("export_dtu_cameras"):
+        export_dtu_cameras(opt, trainer)
     generate_videos_synthesis(opt)
     if opt.data.dataset != "blender" and opt.get("novel_view_video", True):
         try:

@@ -117,6 +117,11 @@ class Dataset(base.Dataset):
         pose_indices = [int(os.path.basename(f)[:-4]) for f in rgb_files]
         cam = np.load(os.path.join(scene_path, "cameras.npz"))
         intrinsics, poses_c2w = [], []
+        # norm_trans: the scale_mat translation removed from every c2w below
+        # — retained so evaluate.py --export_dtu_cameras can write poses back
+        # in the ORIGINAL DTU metric frame (reference barf_dtu.py:79-81 adds
+        # train_data.norm_trans and divides by scaling_factor to undo this)
+        self.norm_trans = np.zeros((3, 1), dtype=np.float32)
         for p in pose_indices:
             P = cam["world_mat_{}".format(p)][:3]
             K, R, t = cv2.decomposeProjectionMatrix(P)[:3]
@@ -127,6 +132,7 @@ class Dataset(base.Dataset):
             scale_mat = cam.get("scale_mat_{}".format(p))
             if scale_mat is not None:
                 pose_c2w[:3, 3:] -= scale_mat[:3, 3:]
+                self.norm_trans = scale_mat[:3, 3:].astype(np.float32)
                 norm_scale = np.diagonal(scale_mat[:3, :3])
                 assert np.allclose(norm_scale, norm_scale[0]), \
                     "anisotropic DTU scale_mat"

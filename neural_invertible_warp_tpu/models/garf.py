@@ -98,6 +98,15 @@ class GarfSE3FieldSystem(GarfSystem):
         params["warp_embedding"] = jax.random.normal(
             k2, (self.n_train, arch.embedding_dim))
         # localWarp MLP (garf_se3_field.py:281-298); torch default Linear init
+        # for EVERY layer — including the last. The reference carries a
+        # near-zero-init guard for the final layer (uniform(-1e-5,1e-5) +
+        # zero bias, garf_se3_field.py:289-293) but it is DEAD CODE: the
+        # condition is `li == len(L)` while `li` enumerates 0..len(L)-1, so
+        # it never fires and the last layer keeps torch's default
+        # kaiming-uniform init. Faithful parity means reproducing the dead
+        # guard's non-effect, not the intent — do NOT "fix" this to a
+        # near-identity warp init without breaking reference parity
+        # (EVIDENCE_r4 §2c documents the resulting random-init behavior).
         layers = []
         dims = list(zip(arch.layers_warp[:-1], arch.layers_warp[1:]))
         for li, (k_in, k_out) in enumerate(dims):

@@ -254,7 +254,8 @@ class NerfSystem:
         if (opt.nerf.fine_sampling and mode == "train" and target is not None
                 and self._use_fused_field() == "pe"
                 and (opt.get("tpu") or {}).get("fused_raymarch", False)
-                and (opt.get("tpu") or {}).get("fused_train", True)):
+                and (opt.get("tpu") or {}).get("fused_train", True)
+                and (opt.get("tpu") or {}).get("fused_raymarch_full", True)):
             # fully-fused fine-sampling training: the reference resamples
             # under torch.no_grad() (model/nerf.py:311-315), so the coarse
             # network's ONLY gradient is its own photometric MSE — it can
@@ -322,15 +323,19 @@ class NerfSystem:
                     and self._use_fused_field() == "pe"
                     and (opt.get("tpu") or {}).get("fused_raymarch", False)
                     and (opt.get("tpu") or {}).get("fused_train", True)):
-                # the FINE network's outputs feed nothing downstream (unlike
-                # the coarse net, whose per-sample prob drives the CDF
-                # resampling above), so in TRAINING its render_fine MSE runs
-                # through the one-call fused train kernel (fwd + in-kernel
-                # photometric cotangent + bwd in one pallas call at
-                # K=intvs+intvs_fine). EVAL stays on the SoA field kernel +
-                # XLA compositing: the forward-only composited kernel at
-                # K=192 measured 3.6x SLOWER than the SoA path on-device
-                # (45.0 vs 12.5 ms per 1024-ray render, tools/
+                # FALLBACK tier: reached only when the fully-fused branch
+                # above could not fire (fused_pe.supports rejected K_c or
+                # K_f — e.g. a sample count the kernel can't tile — or
+                # `tpu.fused_raymarch_full: false` forces this tier for
+                # A/B controls). The
+                # coarse net then runs the SoA field pair (its prob comes
+                # from XLA compositing) and only the FINE net — whose
+                # outputs feed nothing downstream — runs the one-call fused
+                # train kernel (fwd + in-kernel photometric cotangent + bwd
+                # at K=intvs+intvs_fine). EVAL always stays on the SoA field
+                # kernel + XLA compositing: the forward-only composited
+                # kernel at K=192 measured 3.6x SLOWER than the SoA path
+                # on-device (45.0 vs 12.5 ms per 1024-ray render, tools/
                 # check_fine_eval_fused.py, 2026-08-19) — the train kernel
                 # amortizes its start cost over the fused backward, a
                 # forward-only call does not.

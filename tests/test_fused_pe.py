@@ -635,15 +635,18 @@ def test_composited_relu_parity(setup):
 
 @pytest.mark.parametrize("noise_reg", [None, 1.0])
 def test_fine_sampling_fused_train_kernel_parity(monkeypatch, noise_reg):
-    """Round-4: fine-sampling TRAIN mode routes the FINE network through the
-    one-call fused train kernel (the coarse net must stay on the field+XLA
-    path: its per-sample prob drives the CDF resampling; EVAL stays on the
-    SoA field kernels — the forward-only composited kernel measured 3.6x
-    slower on-device, see models/system.py). Full render_rays loss +
-    gradients (train) and the SoA rgb_fine (eval) must match the all-jnp
-    path. The fused path is forced on (interpret mode) — on CPU
-    _use_fused_field() would otherwise gate everything off and the
-    comparison would be vacuous.
+    """Round-5: fine-sampling TRAIN mode runs BOTH networks through the
+    one-call fused train kernel — the coarse net with want_prob=True,
+    emitting the per-sample compositing weights as a stop-grad output for
+    the CDF resample (the reference resamples under torch.no_grad,
+    model/nerf.py:311-315), then the fine net at K=intvs+intvs_fine.
+    Measured on-chip: 8.53 ms/step vs 9.57 on the r4 coarse-SoA path
+    (EVIDENCE_r5 §1). EVAL stays on the SoA field kernels — the
+    forward-only composited kernel measured 3.6x slower on-device, see
+    models/system.py. Full render_rays loss + gradients (train) and the
+    SoA rgb_fine (eval) must match the all-jnp path. The fused path is
+    forced on (interpret mode) — on CPU _use_fused_field() would otherwise
+    gate everything off and the comparison would be vacuous.
 
     noise_reg=1.0 covers the r4 density_noise_reg kernel operand (the
     nerf_llff_repr protocol): the wrappers draw the exact jnp-path noise
@@ -749,3 +752,95 @@ def test_fine_sampling_fused_train_kernel_parity(monkeypatch, noise_reg):
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-6,
                 err_msg=jax.tree_util.keystr(pa))
+
+
+# ---------------------------------------------------------------------------
+# want_prob: the one-call train kernel's per-sample compositing weights
+# (the stop-grad CDF-resample input for fully-fused fine-sampling, r4/r5)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("noise_reg", [None, 0.7])
+def test_train_kernel_want_prob_parity(setup, noise_reg):
+    """want_prob=True must return exactly the jnp chain's compositing
+    weights prob = T*alpha (render.composite), including with the density
+    noise operand active — the draw is bitwise shared (_make_noise matches
+    ops/nerf_mlp.py:129-131), so only kernel-vs-XLA FMA rounding separates
+    the two. The reference resamples these weights under torch.no_grad
+    (model/nerf.py:311-315); stop-grad on prob is checked too."""
+    from neural_invertible_warp_tpu.ops import render
+    params, center, ray, _ = setup
+    rng = np.random.RandomState(21)
+    B, R, K = center.shape[0], center.shape[1], 128
+    base = np.sort(rng.choice([0.5, 1.0, 2.0, 4.0], (B, R, K)), axis=-1)
+    depth = jnp.asarray(base[..., None].astype(np.float32))
+    target = jnp.asarray(rng.rand(B, R, 3).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+
+    rgb_s, dens = nerf_mlp.apply_nerf_samples(
+        params, ARCH, center, ray, depth, view_dep=True,
+        density_activ="softplus", progress=0.4, barf_c2f=(0.1, 0.5),
+        density_noise_reg=noise_reg, noise_key=key)
+    _, _, _, prob_ref = render.composite(ray, rgb_s, dens, depth)
+
+    out, _, _ = fused_pe.fused_render_rays_pe_train(
+        params, ARCH, center, ray, depth, target, progress=0.4,
+        barf_c2f=(0.1, 0.5), interpret=True, want_prob=True,
+        density_noise_reg=noise_reg, noise_key=key)
+    np.testing.assert_allclose(np.asarray(out["prob"]),
+                               np.asarray(prob_ref[..., 0]),
+                               rtol=1e-3, atol=1e-5)
+
+    # prob is resample-only: no gradient may flow through it (exact parity
+    # with the reference's no_grad resample)
+    def loss_via_prob(params):
+        out, _, _ = fused_pe.fused_render_rays_pe_train(
+            params, ARCH, center, ray, depth, target, progress=0.4,
+            barf_c2f=(0.1, 0.5), interpret=True, want_prob=True,
+            density_noise_reg=noise_reg, noise_key=key)
+        return jnp.sum(out["prob"])
+
+    g = jax.grad(loss_via_prob)(params)
+    assert all(float(jnp.abs(l).max()) == 0.0
+               for l in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.parametrize("n_dev,R,noise_reg", [
+    (2, 3, None),
+    (8, 5, 0.7),   # 10 rays NOT divisible by 8, noise sharded with the rays
+])
+def test_train_kernel_want_prob_under_ray_mesh(setup, n_dev, R, noise_reg):
+    """Under an active ray mesh the want_prob output must be identical to
+    the unsharded call (the prob rows ride the same shard_map row specs as
+    the rays; the noise is drawn OUTSIDE shard_map so the draw is bitwise
+    chip-count invariant)."""
+    from neural_invertible_warp_tpu.parallel import mesh as mesh_lib
+    params, center, ray, _ = setup
+    rng = np.random.RandomState(23)
+    B, K = center.shape[0], 128
+    center = jnp.asarray(rng.randn(B, R, 3).astype(np.float32) * 0.2)
+    ray = jnp.asarray(rng.randn(B, R, 3).astype(np.float32))
+    base = np.sort(rng.choice([0.5, 1.0, 2.0, 4.0], (B, R, K)), axis=-1)
+    depth = jnp.asarray(base[..., None].astype(np.float32))
+    target = jnp.asarray(rng.rand(B, R, 3).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    def run(params, center, ray):
+        out, sq, n = fused_pe.fused_render_rays_pe_train(
+            params, ARCH, center, ray, depth, target, progress=0.4,
+            barf_c2f=(0.1, 0.5), interpret=True, want_prob=True,
+            density_noise_reg=noise_reg, noise_key=key)
+        return sq / n, out["prob"]
+
+    (l0, p0), g0 = jax.value_and_grad(run, argnums=(0, 1, 2),
+                                      has_aux=True)(params, center, ray)
+    mesh = mesh_lib.make_mesh(n_devices=n_dev)
+    with mesh_lib.use_mesh(mesh):
+        (l1, p1), g1 = jax.value_and_grad(run, argnums=(0, 1, 2),
+                                          has_aux=True)(params, center, ray)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=1e-6)

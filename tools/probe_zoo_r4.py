@@ -152,7 +152,7 @@ DEFAULT_ORDER = [
 ]
 
 
-def run_one(name):
+def run_one(name, extra_over=(), tag=None):
     import evidence_r2
     s = RUNS[name]
     data_over = {"llff": llff_scene, "blender": blender_scene,
@@ -165,12 +165,12 @@ def run_one(name):
         "--freq.ckpt=1000000",
         "--output_root={}/out".format(OUT_DIR), "--group=zoo_r4",
         "--name={}".format(name), "--seed=0",
-    ] + data_over + s["overrides"])
+    ] + data_over + s["overrides"] + list(extra_over))
     t0 = time.time()
     trainer = evidence_r2.make_trainer(opt)
     system, state = trainer.system, trainer.state
     print("[{}] built in {:.1f}s".format(name, time.time() - t0), flush=True)
-    rec = dict(name=name, model=s["model"], yaml=s["yaml"],
+    rec = dict(name=(tag or name), model=s["model"], yaml=s["yaml"],
                horizon=horizon, note=s["note"])
     has_pose = s["pose"] and hasattr(system, "evaluate_camera_alignment")
     if has_pose:
@@ -226,9 +226,12 @@ def main():
     ap.add_argument("--runs", help="comma list; default: canonical order")
     ap.add_argument("--all", action="store_true",
                     help="run the sequence in subprocesses")
+    ap.add_argument("--over", action="append", default=[],
+                    help="extra --key=value overrides (one-off controls)")
+    ap.add_argument("--tag", help="record the result under this name")
     args = ap.parse_args()
     if args.run:
-        run_one(args.run)
+        run_one(args.run, extra_over=args.over, tag=args.tag)
         return
     names = args.runs.split(",") if args.runs else DEFAULT_ORDER
     os.makedirs(OUT_DIR, exist_ok=True)
