@@ -442,9 +442,10 @@ def supports(arch, opt_nerf):
                 and arch.get("density_activ", "softplus") in ("softplus",
                                                               "relu")
                 and opt_nerf.view_dep)
-        # NB density_noise_reg is deliberately NOT checked here: the noise is
-        # train-only, and models/system.py routes noise-active TRAIN calls to
-        # the jnp path per-call (pre-activation noise can't be applied outside
-        # the kernel) while eval keeps the fused kernels.
+        # NB density_noise_reg is deliberately NOT checked here: since r4 the
+        # pre-activation noise rides into every PE kernel as a lane-dense
+        # [R,K] operand (drawn in XLA, bitwise the jnp draw), so noise-active
+        # TRAIN calls stay on the fused kernels; only the noise-FREE eval
+        # kernel path gates on it at the call site (models/system.py).
     except Exception:
         return False

@@ -687,3 +687,144 @@ def dtu_opt(root, H=30, W=40, scene="scan1"):
     opt.data.image_size = [H, W]
     opt.data.num_workers = 2
     return opt
+
+
+def iphone_opt(root, H=108, W=192, scene="vid"):
+    from neural_invertible_warp_tpu.dotdict import DotDict
+    return DotDict(dict(
+        H=H, W=W,
+        data=dict(root=root, dataset="iphone", scene=scene,
+                  image_size=[H, W], num_workers=2, preload=True,
+                  val_ratio=0.15, augment={}, center_crop=None),
+    ))
+
+
+def make_blob_iphone_scene(root, scene="vid", n_images=24, img_size=(108, 192),
+                           seed=0, n_blobs=40):
+    """iPhone-format unposed video with 3D-CONSISTENT frames: a smooth
+    handheld-style camera path orbiting a blob cloud, rendered at the
+    loader's hard-coded intrinsics (data/iphone.py: focal = W*4.2/(12.8/2.55),
+    principal point at center). The loader reports identity dummy poses (the
+    protocol trains poses from identity); the TRUE generation w2c poses are
+    saved to <scene>/poses_true_w2c.npy for probe-side gauge-aligned pose
+    error readout."""
+    from neural_invertible_warp_tpu.data import iphone as iphone_data
+
+    H, W = img_size
+    path = os.path.join(root, scene)
+    img_dir = os.path.join(path, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    # placeholder frames so the loader can parse intrinsics at target size
+    for i in range(n_images):
+        imageio.imwrite(os.path.join(img_dir, "{}.png".format(i)),
+                        _toy_image(H, W, i))
+    opt = iphone_opt(root, H=H, W=W, scene=scene)
+    ds = iphone_data.Dataset(opt, split="train")
+    intr0 = ds.all_arrays(opt)["intr"][0]            # loader-rescaled K
+    # smooth video path: slow orbit + handheld bob, always looking at the
+    # blob cloud (forward-facing cluster, so identity init is recoverable)
+    poses_w2c = []
+    for i in range(n_images):
+        t = i / (n_images - 1)
+        eye = np.array([0.9 * np.sin(1.6 * t * np.pi),
+                        0.15 * np.sin(2.3 * t * np.pi + 0.4),
+                        4.0 + 0.4 * np.sin(0.9 * t * np.pi)])
+        target = np.array([0.15 * np.sin(2 * t * np.pi), 0.0, 0.0])
+        # OpenCV convention (camera z TOWARD the scene — what
+        # rays.get_center_and_ray expects; look_at_c2w is OpenGL -z)
+        z = target - eye
+        z /= np.linalg.norm(z)
+        up = np.array([0.0, 1.0, 0.0])
+        x_ax = np.cross(up, z); x_ax /= np.linalg.norm(x_ax)
+        y_ax = np.cross(z, x_ax)
+        c2w = np.concatenate([np.stack([x_ax, y_ax, z], axis=1),
+                              eye[:, None]], axis=1)
+        w2c = np.linalg.inv(np.concatenate([c2w, [[0, 0, 0, 1]]], 0))[:3]
+        poses_w2c.append(w2c.astype(np.float32))
+    poses_w2c = np.stack(poses_w2c)
+    np.save(os.path.join(path, "poses_true_w2c.npy"), poses_w2c)
+    blob = blob_params(seed=seed + 31, n_blobs=n_blobs, radius=1.15,
+                       axis_scale=(1.5, 1.1, 0.7), s_range=(0.12, 0.30))
+    intr = np.tile(intr0[None], (n_images, 1, 1))
+    imgs = analytic_blob_render(poses_w2c, intr, H, W, blob,
+                                depth_range=(2.2, 6.2))
+    for i in range(n_images):
+        imageio.imwrite(os.path.join(img_dir, "{}.png".format(i)),
+                        (np.clip(imgs[i], 0, 1) * 255).astype(np.uint8))
+    return opt, poses_w2c
+
+
+def tandt_opt(root, H=180, W=320, scene="Ballroom"):
+    from neural_invertible_warp_tpu.dotdict import DotDict
+    return DotDict(dict(
+        H=H, W=W,
+        data=dict(root=root, dataset="tandt", scene=scene,
+                  image_size=[H, W], num_workers=2, preload=True,
+                  val_ratio=8, augment={}, center_crop=None),
+    ))
+
+
+def make_blob_tandt_scene(root, scene="Ballroom", n_images=24,
+                          img_size=(180, 320), seed=0, n_blobs=40):
+    """Tanks&Temples-format scene (poses_bounds.npy walk-through arc +
+    images/) with 3D-consistent blob imagery rendered from the
+    LOADER-PARSED poses — the same robust-to-conventions pattern as
+    make_blob_llff_scene: whatever centering/spherification the loader
+    applies (data/tandt.py), the images match its reported GT poses."""
+    from neural_invertible_warp_tpu.data import tandt as tandt_data
+
+    H, W = img_size
+    path = os.path.join(root, scene)
+    img_dir = os.path.join(path, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_images):
+        # forward-facing walk-through arc (a pure ring degenerates the
+        # reference's average-pose centering, see test_data_extra.py)
+        th = (i / n_images - 0.5) * 1.2
+        eye = np.array([2.5 * np.sin(th), 0.3 + 0.05 * rng.randn(),
+                        2.5 * np.cos(th)])
+        c2w = look_at_c2w(eye)
+        raw = c2w.copy()
+        raw[..., 0], raw[..., 1] = -c2w[..., 1], c2w[..., 0]
+        hwf = np.array([540.0, 960.0, 800.0], np.float32)[:, None]
+        rows.append(np.concatenate([
+            np.concatenate([raw, hwf], axis=1).reshape(-1),
+            np.array([1.5 + rng.rand() * 0.1, 6.0])]))
+        imageio.imwrite(os.path.join(img_dir, "{:04d}.png".format(i)),
+                        _toy_image(H, W, seed * 100 + i))
+    np.save(os.path.join(path, "poses_bounds.npy"), np.stack(rows))
+
+    opt = tandt_opt(root, H=H, W=W, scene=scene)
+    # same look-at-triangulation content placement as make_blob_llff_scene
+    from neural_invertible_warp_tpu.data import tandt as tdata
+    ds_train = tdata.Dataset(opt, split="train")
+    arrays = ds_train.all_arrays(opt)
+    pose = np.asarray(arrays["pose"])
+    R, t = pose[:, :, :3], pose[:, :, 3]
+    centers = -np.einsum("bij,bi->bj", R, t)
+    look = R[:, 2, :]
+    P = np.eye(3)[None] - look[:, :, None] * look[:, None, :]
+    A = P.sum(0) + 1e-4 * np.eye(3)
+    b = np.einsum("bij,bj->i", P, centers)
+    target = np.linalg.solve(A, b)
+    dist = float(np.mean(np.linalg.norm(target - centers, axis=-1)))
+    blob = blob_params(seed=seed + 17, n_blobs=n_blobs, center=tuple(target),
+                       radius=0.45 * dist, axis_scale=(1.5, 1.1, 0.8),
+                       s_range=(0.10, 0.26))
+    near = max(0.2, dist - 1.2)
+    far = dist + 1.6
+    with open(os.path.join(path, "synth_meta.json"), "w") as f:
+        json.dump(dict(depth_near=near, depth_far=far, dist=dist), f)
+    for split in ("train", "test"):
+        ds = tandt_data.Dataset(opt, split=split)
+        arr = ds.all_arrays(opt)
+        imgs = analytic_blob_render(arr["pose"], arr["intr"], H, W, blob,
+                                    depth_range=(near, far))
+        for i in range(len(ds)):
+            fname = os.path.join(img_dir, ds.list[i] if isinstance(
+                ds.list[i], str) else ds.list[i][0])
+            imageio.imwrite(fname,
+                            (np.clip(imgs[i], 0, 1) * 255).astype(np.uint8))
+    return opt, blob

@@ -1,0 +1,209 @@
+"""Training evidence for the iphone and tandt dataset families (VERDICT r4
+Weak #5 / Next #5: "no dataset family with zero training evidence").
+
+Both probes use 3D-CONSISTENT synthetic captures (tests/synth_data.py blob
+renderer) in the EXACT on-disk formats the loaders parse:
+
+* ``iphone`` — the reference's unposed-video protocol (data/iphone.py:
+  numbered frames, hard-coded intrinsics, identity dummy poses): a smooth
+  handheld-style orbit rendered at the loader's intrinsics; ``barf`` trains
+  poses from identity (options/barf_iphone.yaml). The loader's GT is
+  identity by construction, so pose readout is measured against the TRUE
+  generation poses (saved by the scene maker) with a gauge-free pairwise
+  relative-rotation metric + Umeyama-aligned center error.
+
+* ``tandt`` — Tanks&Temples poses_bounds walk-through (data/tandt.py):
+  ``barf`` at the barf_llff config with the dataset swapped in; the loader
+  reports real GT (centered/spherified), so the system's own
+  evaluate_camera_alignment gives init -> final errors directly.
+
+Usage:  python tools/probe_extra_datasets.py --run iphone|tandt
+        [--horizon 20000]
+Results: one JSON line appended to /tmp/zoo_r4/results.jsonl (same ledger as
+probe_zoo_r4).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+OUT_DIR = "/tmp/zoo_r4"
+SCENE_ROOT = "/tmp/zoo_r4/scenes"
+
+
+def rel_rot_err_deg(pred_w2c, true_w2c, n_pairs=300, seed=0):
+    """Gauge-free pose metric: mean relative-rotation error over random
+    camera pairs (the absolute rotation is unidentifiable without GT
+    anchoring; same criterion as tools/evidence_r2.relative_pose_error)."""
+    rng = np.random.RandomState(seed)
+    B = pred_w2c.shape[0]
+    i = rng.randint(0, B, n_pairs)
+    j = rng.randint(0, B, n_pairs)
+    keep = i != j
+    i, j = i[keep], j[keep]
+    Rp = pred_w2c[:, :, :3]
+    Rt = true_w2c[:, :, :3]
+    Rp_rel = Rp[i] @ Rp[j].transpose(0, 2, 1)
+    Rt_rel = Rt[i] @ Rt[j].transpose(0, 2, 1)
+    dR = Rp_rel @ Rt_rel.transpose(0, 2, 1)
+    tr = np.clip((np.trace(dR, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    return float(np.rad2deg(np.mean(np.arccos(tr))))
+
+
+def aligned_center_err(pred_w2c, true_w2c):
+    """Umeyama sim3-aligned camera-center error (fraction of scene scale)."""
+    from neural_invertible_warp_tpu.ops import align
+
+    def centers(w2c):
+        R, t = w2c[:, :, :3], w2c[:, :, 3]
+        return -np.einsum("bij,bi->bj", R, t)
+
+    cp, ct = centers(pred_w2c), centers(true_w2c)
+    try:
+        s, R, t = align.align_umeyama(ct, cp)
+        cp_al = s * cp @ np.asarray(R).T + np.asarray(t)
+    except Exception:
+        return float("nan")
+    scale = np.linalg.norm(ct - ct.mean(0), axis=-1).mean() + 1e-9
+    return float(np.linalg.norm(cp_al - ct, axis=-1).mean() / scale)
+
+
+def run_iphone(horizon):
+    import evidence_r2
+    import synth_data
+
+    root = os.path.join(SCENE_ROOT, "iphone")
+    scene_dir = os.path.join(root, "vid")
+    if not os.path.isdir(os.path.join(scene_dir, "images")):
+        synth_data.make_blob_iphone_scene(root, n_images=24)
+    true_w2c = np.load(os.path.join(scene_dir, "poses_true_w2c.npy"))
+
+    opt = evidence_r2.build("barf_iphone", [
+        "--model=barf", "--yaml=barf_iphone",
+        "--data.root={}".format(root), "--data.scene=vid",
+        "--data.image_size=[108,192]",
+        "--max_iter={}".format(horizon),
+        "--freq.scalar=1000000", "--freq.val=1000000",
+        "--freq.ckpt=1000000",
+        "--output_root={}/out".format(OUT_DIR), "--group=zoo_r5",
+        "--name=barf_iphone_probe", "--seed=0",
+    ])
+    t0 = time.time()
+    trainer = evidence_r2.make_trainer(opt)
+    system, state = trainer.system, trainer.state
+    print("[iphone] built in {:.1f}s".format(time.time() - t0), flush=True)
+
+    # the TRUE poses of the TRAIN split (loader: numeric sort, last
+    # val_ratio frames are val)
+    idx = [int(f.split(".")[0]) for f in trainer.train_data.list]
+    true_train = true_w2c[idx]
+
+    def pose_errors(state):
+        pred, _ = system.get_all_training_poses(state)
+        pred = np.asarray(pred)
+        return (rel_rot_err_deg(pred, true_train),
+                aligned_center_err(pred, true_train))
+
+    r0, c0 = pose_errors(state)
+    print("[iphone] init: rel-rot {:.3f} deg, center {:.4f}".format(r0, c0),
+          flush=True)
+    t1 = time.time()
+    state, history = evidence_r2.train_loop(
+        system, state, horizon, spc=200,
+        log_every=max(2000, horizon // 10), pose_errors=False)
+    train_s = time.time() - t1
+    r1, c1 = pose_errors(state)
+    val = system.validate(state)
+    rec = dict(name="barf_iphone_{}k".format(horizon // 1000), model="barf",
+               yaml="barf_iphone", horizon=horizon,
+               note="unposed-video protocol: identity init on a smooth "
+                    "handheld orbit; pose metrics vs the TRUE generation "
+                    "poses (gauge-free rel-rot + sim3-aligned centers)",
+               init_rel_rot_deg=round(r0, 4), init_center_err=round(c0, 5),
+               final_rel_rot_deg=round(r1, 4), final_center_err=round(c1, 5),
+               train_psnr=round(float(history[-1]["psnr"]), 3),
+               val_psnr=round(float(val["psnr_val"]), 3),
+               ms_per_step=round(1000.0 * train_s / horizon, 3),
+               elapsed_s=round(time.time() - t0, 1))
+    _record(rec)
+
+
+def run_tandt(horizon):
+    import evidence_r2
+    import synth_data
+
+    root = os.path.join(SCENE_ROOT, "tandt")
+    if not os.path.isdir(os.path.join(root, "Ballroom", "images")):
+        synth_data.make_blob_tandt_scene(root, n_images=24)
+
+    opt = evidence_r2.build("barf_llff", [
+        "--model=barf", "--yaml=barf_llff",
+        "--data.dataset=tandt",
+        "--data.root={}".format(root), "--data.scene=Ballroom",
+        "--data.image_size=[180,320]", "--data.val_ratio=8",
+        "--max_iter={}".format(horizon),
+        "--freq.scalar=1000000", "--freq.val=1000000",
+        "--freq.ckpt=1000000",
+        "--output_root={}/out".format(OUT_DIR), "--group=zoo_r5",
+        "--name=barf_tandt_probe", "--seed=0",
+    ])
+    t0 = time.time()
+    trainer = evidence_r2.make_trainer(opt)
+    system, state = trainer.system, trainer.state
+    print("[tandt] built in {:.1f}s".format(time.time() - t0), flush=True)
+    R0, te0 = system.evaluate_camera_alignment(state)
+    print("[tandt] init: rot {:.3f} deg trans {:.4f}".format(
+        float(np.rad2deg(np.mean(R0))), float(np.mean(te0))), flush=True)
+    t1 = time.time()
+    state, history = evidence_r2.train_loop(
+        system, state, horizon, spc=200,
+        log_every=max(2000, horizon // 10), pose_errors=True)
+    train_s = time.time() - t1
+    last = history[-1]
+    val = system.validate(state)
+    rec = dict(name="barf_tandt_{}k".format(horizon // 1000), model="barf",
+               yaml="barf_llff+tandt", horizon=horizon,
+               note="tandt walk-through arc, barf-class identity init; "
+                    "loader GT (centered/spherified) via "
+                    "evaluate_camera_alignment",
+               init_rot_deg=round(float(np.rad2deg(np.mean(R0))), 4),
+               init_trans=round(float(np.mean(te0)), 5),
+               final_rot_deg=round(float(last["err_R_deg"]), 4),
+               final_rot_rel_deg=round(float(last["err_R_rel"]), 4),
+               final_trans=round(float(last["err_t"]), 5),
+               train_psnr=round(float(last["psnr"]), 3),
+               val_psnr=round(float(val["psnr_val"]), 3),
+               ms_per_step=round(1000.0 * train_s / horizon, 3),
+               elapsed_s=round(time.time() - t0, 1))
+    _record(rec)
+
+
+def _record(rec):
+    print("RESULT {}".format(json.dumps(rec)), flush=True)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "results.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", required=True, choices=["iphone", "tandt"])
+    ap.add_argument("--horizon", type=int, default=20000)
+    args = ap.parse_args()
+    if args.run == "iphone":
+        run_iphone(args.horizon)
+    else:
+        run_tandt(args.horizon)
+
+
+if __name__ == "__main__":
+    main()
