@@ -700,7 +700,7 @@ def iphone_opt(root, H=108, W=192, scene="vid"):
 
 
 def make_blob_iphone_scene(root, scene="vid", n_images=24, img_size=(108, 192),
-                           seed=0, n_blobs=40):
+                           seed=0, n_blobs=40, path_scale=1.0):
     """iPhone-format unposed video with 3D-CONSISTENT frames: a smooth
     handheld-style camera path orbiting a blob cloud, rendered at the
     loader's hard-coded intrinsics (data/iphone.py: focal = W*4.2/(12.8/2.55),
@@ -726,9 +726,12 @@ def make_blob_iphone_scene(root, scene="vid", n_images=24, img_size=(108, 192),
     poses_w2c = []
     for i in range(n_images):
         t = i / (n_images - 1)
-        eye = np.array([0.9 * np.sin(1.6 * t * np.pi),
-                        0.15 * np.sin(2.3 * t * np.pi + 0.4),
-                        4.0 + 0.4 * np.sin(0.9 * t * np.pi)])
+        # path_scale shrinks the handheld excursion (1.0 = wide orbit,
+        # ~8.6 deg mean pairwise rotation; ~0.35 = slow pan — the
+        # narrow-baseline casual-video regime)
+        eye = np.array([0.9 * path_scale * np.sin(1.6 * t * np.pi),
+                        0.15 * path_scale * np.sin(2.3 * t * np.pi + 0.4),
+                        4.0 + 0.4 * path_scale * np.sin(0.9 * t * np.pi)])
         target = np.array([0.15 * np.sin(2 * t * np.pi), 0.0, 0.0])
         # OpenCV convention (camera z TOWARD the scene — what
         # rays.get_center_and_ray expects; look_at_c2w is OpenGL -z)
@@ -765,7 +768,8 @@ def tandt_opt(root, H=180, W=320, scene="Ballroom"):
 
 
 def make_blob_tandt_scene(root, scene="Ballroom", n_images=24,
-                          img_size=(180, 320), seed=0, n_blobs=40):
+                          img_size=(180, 320), seed=0, n_blobs=40,
+                          arc_scale=1.0):
     """Tanks&Temples-format scene (poses_bounds.npy walk-through arc +
     images/) with 3D-consistent blob imagery rendered from the
     LOADER-PARSED poses — the same robust-to-conventions pattern as
@@ -782,7 +786,10 @@ def make_blob_tandt_scene(root, scene="Ballroom", n_images=24,
     for i in range(n_images):
         # forward-facing walk-through arc (a pure ring degenerates the
         # reference's average-pose centering, see test_data_extra.py)
-        th = (i / n_images - 0.5) * 1.2
+        # arc_scale shrinks the walk-through arc (1.0 = 69 deg spread —
+        # identity init is out of the BARF recovery basin there; ~0.25 =
+        # gentle 17 deg pan, the identity-recoverable regime)
+        th = (i / n_images - 0.5) * 1.2 * arc_scale
         eye = np.array([2.5 * np.sin(th), 0.3 + 0.05 * rng.randn(),
                         2.5 * np.cos(th)])
         c2w = look_at_c2w(eye)
