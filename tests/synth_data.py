@@ -748,9 +748,14 @@ def make_blob_iphone_scene(root, scene="vid", n_images=24, img_size=(108, 192),
     np.save(os.path.join(path, "poses_true_w2c.npy"), poses_w2c)
     blob = blob_params(seed=seed + 31, n_blobs=n_blobs, radius=1.15,
                        axis_scale=(1.5, 1.1, 0.7), s_range=(0.12, 0.30))
+    # textured backdrop wall behind the blob cloud (cameras at z~+4 look
+    # toward -z): frame-filling view-consistent content — without it the
+    # empty background is the EVIDENCE_r2 B2 memorization gauge
+    bd = backdrop_params(point=(0.0, 0.0, -1.7), normal=(0.0, 0.0, 1.0),
+                         seed=seed + 23)
     intr = np.tile(intr0[None], (n_images, 1, 1))
     imgs = analytic_blob_render(poses_w2c, intr, H, W, blob,
-                                depth_range=(2.2, 6.2))
+                                depth_range=(2.2, 6.2), backdrop=bd)
     for i in range(n_images):
         imageio.imwrite(os.path.join(img_dir, "{}.png".format(i)),
                         (np.clip(imgs[i], 0, 1) * 255).astype(np.uint8))
@@ -817,18 +822,36 @@ def make_blob_tandt_scene(root, scene="Ballroom", n_images=24,
     b = np.einsum("bij,bj->i", P, centers)
     target = np.linalg.solve(A, b)
     dist = float(np.mean(np.linalg.norm(target - centers, axis=-1)))
-    blob = blob_params(seed=seed + 17, n_blobs=n_blobs, center=tuple(target),
-                       radius=0.45 * dist, axis_scale=(1.5, 1.1, 0.8),
+    # Depth placement: the loader's NoPe spherification rescales camera
+    # centers to UNIT RMS radius about the look-convergence point, so
+    # content AT that point sits at depth ~1.0*dist — but barf_llff
+    # samples inverse depth [1,0] => metric [1,inf): anything nearer
+    # than 1 is unsampleable and the field can only explain it with
+    # per-view floaters (measured: 59 dB train overfit with frozen
+    # relative poses). Put the blob slab PAST the convergence point at
+    # depth ~2.2*dist and the textured backdrop wall at ~3*dist — all
+    # within the sampleable range. The wall supplies frame-filling
+    # view-consistent content (without it, empty black background is the
+    # EVIDENCE_r2 B2 degenerate gauge — same fix as make_blob_llff_scene
+    # backdrop=True).
+    mean_look = look.mean(0)
+    mean_look /= np.linalg.norm(mean_look)
+    blob_c = target + 1.2 * dist * mean_look
+    blob = blob_params(seed=seed + 17, n_blobs=n_blobs,
+                       center=tuple(blob_c),
+                       radius=0.5 * dist, axis_scale=(1.5, 1.1, 0.8),
                        s_range=(0.10, 0.26))
-    near = max(0.2, dist - 1.2)
-    far = dist + 1.6
+    bd = backdrop_params(point=target + 2.0 * dist * mean_look,
+                         normal=-mean_look, seed=seed + 23)
+    near = max(0.2, 1.35 * dist)
+    far = 3.3 * dist
     with open(os.path.join(path, "synth_meta.json"), "w") as f:
         json.dump(dict(depth_near=near, depth_far=far, dist=dist), f)
     for split in ("train", "test"):
         ds = tandt_data.Dataset(opt, split=split)
         arr = ds.all_arrays(opt)
         imgs = analytic_blob_render(arr["pose"], arr["intr"], H, W, blob,
-                                    depth_range=(near, far))
+                                    depth_range=(near, far), backdrop=bd)
         for i in range(len(ds)):
             fname = os.path.join(img_dir, ds.list[i] if isinstance(
                 ds.list[i], str) else ds.list[i][0])
