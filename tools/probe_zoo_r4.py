@@ -168,6 +168,10 @@ def build_runs():
                  "(~3 deg pairwise init, the real-LLFF class the GARF "
                  "paper recovers); pass the reference's own "
                  "optim.warmup_pose pose-lr ramp via --over")
+        runs["garf_se3_recovery_" + tag] = spec(
+            "garf_se3_field", "garf_llff_se3", "llff_garf_tight", horizon,
+            note="se3-from-warp-MLP on the clean-recovery scene; "
+                 "optim.warmup_pose via --over")
         runs["nerf_gaussian_" + tag] = spec(
             "nerf_gaussian", "nerf_gaussian_llff", "llff", horizon,
             pose=False, note="known GT poses, field quality only")
